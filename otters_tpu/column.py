@@ -1,0 +1,259 @@
+"""Typed columnar storage with null masks.
+
+TPU-native equivalent of the reference ``Column`` (src/col.rs:195-503):
+- typed backing storage per DataType with **sentinel values for nulls**
+  (i32::MIN, i64::MIN, NaN, "" — col.rs:238-326) plus a null bitmask;
+- unified ``push`` accepting Python values / None (col.rs:358-390);
+- bulk ``from_values`` (col.rs:393-401);
+- datetime strings parsed to epoch-millis int64, auto formats RFC3339 /
+  ``%Y-%m-%d`` / ``%Y-%m-%d %H:%M:%S`` (col.rs:506-527) or a custom format via
+  ``with_datetime_fmt`` (col.rs:352-355, 529-545);
+- typed accessors ``*_values`` / ``null_mask`` / ``values`` (col.rs:446-502).
+
+Host-side the column stages values in numpy-growable buffers; numeric and
+datetime columns are shipped to the device (HBM) by MetaStore at build time,
+strings stay host-side but are hashed so equality predicates run on device.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Iterable, Optional
+
+import numpy as np
+
+from .errors import ColumnParseError, ColumnTypeMismatch
+from .types import DataType
+
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _to_millis(dt: _dt.datetime) -> int:
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return round((dt - _EPOCH).total_seconds() * 1000)
+
+
+def parse_datetime(s: str) -> int:
+    """Parse a datetime string to epoch milliseconds (UTC).
+
+    Accepts RFC3339/ISO-8601, ``YYYY-MM-DD``, ``YYYY-MM-DD HH:MM:SS``
+    (reference col.rs:506-527). Naive timestamps are treated as UTC.
+    """
+    # RFC3339 / ISO-8601 (fromisoformat in py3.11+ handles 'Z' and offsets).
+    try:
+        return _to_millis(_dt.datetime.fromisoformat(s))
+    except (ValueError, TypeError):
+        pass
+    for fmt in ("%Y-%m-%d", "%Y-%m-%d %H:%M:%S"):
+        try:
+            return _to_millis(_dt.datetime.strptime(s, fmt))
+        except ValueError:
+            continue
+    raise ColumnParseError(
+        f"Cannot parse '{s}' as datetime. Supported formats: ISO 8601, "
+        "YYYY-MM-DD, YYYY-MM-DD HH:MM:SS"
+    )
+
+
+def parse_datetime_fmt(s: str, fmt: str) -> int:
+    """Parse with an explicit strptime format (reference col.rs:529-545)."""
+    try:
+        return _to_millis(_dt.datetime.strptime(s, fmt))
+    except ValueError:
+        raise ColumnParseError(f"Cannot parse '{s}' with format '{fmt}'") from None
+
+
+class _Buf:
+    """Growable numpy buffer (amortized O(1) append)."""
+
+    def __init__(self, dtype):
+        self._arr = np.empty(16, dtype=dtype)
+        self._len = 0
+
+    def push(self, v):
+        if self._len == len(self._arr):
+            self._arr = np.resize(self._arr, max(32, self._len * 2))
+        self._arr[self._len] = v
+        self._len += 1
+
+    def extend(self, values: np.ndarray):
+        n = len(values)
+        if self._len + n > len(self._arr):
+            self._arr = np.resize(self._arr, max(self._len + n, self._len * 2))
+        self._arr[self._len : self._len + n] = values
+        self._len += n
+
+    def view(self) -> np.ndarray:
+        return self._arr[: self._len]
+
+    def __len__(self):
+        return self._len
+
+
+class Column:
+    """Typed column with a null mask (reference Column, col.rs:21-28)."""
+
+    def __init__(self, name: str, dtype: DataType):
+        self._name = name
+        self._dtype = dtype
+        if dtype is DataType.String:
+            self._data: Any = []  # python list of str ("" sentinel for nulls)
+        else:
+            self._data = _Buf(dtype.numpy_dtype)
+        self._null_mask = _Buf(np.bool_)
+        self._datetime_format: Optional[str] = None
+
+    # ---- accessors -------------------------------------------------------
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def dtype(self) -> DataType:
+        return self._dtype
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def null_mask(self) -> np.ndarray:
+        """Boolean array, True = null (reference col.rs:488-490)."""
+        return self._null_mask.view()
+
+    def _typed_values(self, dtype: DataType):
+        if self._dtype is not dtype:
+            return None
+        if dtype is DataType.String:
+            return self._data
+        return self._data.view()
+
+    def i32_values(self):
+        return self._typed_values(DataType.Int32)
+
+    def i64_values(self):
+        return self._typed_values(DataType.Int64)
+
+    def f32_values(self):
+        return self._typed_values(DataType.Float32)
+
+    def f64_values(self):
+        return self._typed_values(DataType.Float64)
+
+    def string_values(self):
+        return self._typed_values(DataType.String)
+
+    def datetime_values(self):
+        return self._typed_values(DataType.DateTime)
+
+    def values(self):
+        """Raw stored values (sentinels included), like col.rs:493-502."""
+        if self._dtype is DataType.String:
+            return self._data
+        return self._data.view()
+
+    # ---- ingest ----------------------------------------------------------
+    def with_datetime_fmt(self, fmt: str) -> "Column":
+        self._datetime_format = fmt
+        return self
+
+    def push(self, value) -> "Column":
+        """Unified push (reference col.rs:358-390). None means null."""
+        dt = self._dtype
+        if value is None:
+            if dt is DataType.String:
+                self._data.append("")
+            else:
+                self._data.push(dt.sentinel)
+            self._null_mask.push(True)
+            return self
+
+        if dt is DataType.String:
+            if not isinstance(value, str):
+                raise ColumnTypeMismatch(dt, type(value).__name__)
+            self._data.append(value)
+        elif dt is DataType.DateTime:
+            if isinstance(value, str):
+                millis = (
+                    parse_datetime_fmt(value, self._datetime_format)
+                    if self._datetime_format
+                    else parse_datetime(value)
+                )
+            elif isinstance(value, int) and not isinstance(value, bool):
+                millis = value  # already epoch millis
+            elif isinstance(value, _dt.datetime):
+                millis = _to_millis(value)
+            else:
+                raise ColumnTypeMismatch(dt, type(value).__name__)
+            self._data.push(np.int64(millis))
+        elif dt in (DataType.Int32, DataType.Int64):
+            if isinstance(value, bool) or not isinstance(
+                value, (int, np.integer)
+            ):
+                raise ColumnTypeMismatch(dt, type(value).__name__)
+            self._data.push(value)
+        elif dt in (DataType.Float32, DataType.Float64):
+            if isinstance(value, bool) or not isinstance(
+                value, (int, float, np.integer, np.floating)
+            ):
+                raise ColumnTypeMismatch(dt, type(value).__name__)
+            self._data.push(value)
+        else:  # pragma: no cover
+            raise ColumnTypeMismatch(dt, type(value).__name__)
+        self._null_mask.push(False)
+        return self
+
+    def from_values(self, values: Iterable) -> "Column":
+        """Bulk append; returns self for chaining (reference col.rs:393-401)."""
+        values = list(values)
+        dt = self._dtype
+        # Fast vectorized path for fully non-null numeric data.
+        if (
+            dt in (DataType.Int32, DataType.Int64, DataType.Float32, DataType.Float64)
+            and values
+            and not any(v is None for v in values)
+        ):
+            arr = np.asarray(values, dtype=dt.numpy_dtype)
+            if arr.ndim == 1:
+                self._data.extend(arr)
+                self._null_mask.extend(np.zeros(len(arr), dtype=np.bool_))
+                return self
+        for v in values:
+            self.push(v)
+        return self
+
+    # Alias matching the reference method name (``from`` is reserved in Python).
+    from_ = from_values
+
+    # ---- display ---------------------------------------------------------
+    def head(self) -> None:
+        self.head_n(5)
+
+    def head_n(self, n: int) -> None:
+        print(f"Column: {self._name} ({self._dtype!r})")
+        limit = min(len(self), n)
+        nulls = self.null_mask()
+        for i in range(limit):
+            if bool(nulls[i]):
+                print(f"  [{i}]: NULL")
+                continue
+            dt = self._dtype
+            if dt is DataType.String:
+                print(f'  [{i}]: "{self._data[i]}"')
+            elif dt in (DataType.Float32, DataType.Float64):
+                print(f"  [{i}]: {float(self._data.view()[i]):.4f}")
+            elif dt is DataType.DateTime:
+                ms = int(self._data.view()[i])
+                try:
+                    s = _dt.datetime.fromtimestamp(
+                        ms / 1000.0, tz=_dt.timezone.utc
+                    ).strftime("%Y-%m-%d %H:%M:%S UTC")
+                    print(f"  [{i}]: {s} ({ms})")
+                except (OverflowError, OSError, ValueError):
+                    print(f"  [{i}]: Invalid timestamp ({ms})")
+            else:
+                print(f"  [{i}]: {int(self._data.view()[i])}")
+        if len(self) > n:
+            print(f"  ... ({len(self) - n} more rows)")

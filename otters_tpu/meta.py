@@ -1,0 +1,787 @@
+"""MetaStore: vector search with metadata pruning, TPU-native.
+
+Re-design of the reference ``src/meta.rs`` + ``src/meta_compute.rs`` for TPU:
+
+The reference chunks vectors into per-chunk VecStores, builds per-chunk
+zonemaps (min/max/non-null + Bloom filters), prunes chunks host-side, then
+rayon-scores surviving chunks. Here the whole store is **one device-resident
+pytree**:
+
+- vectors `[N_pad, D]` + norms in HBM (one array, not per-chunk stores);
+- per-column value arrays + null masks `[N_pad]` on device (64-bit types as
+  exact (hi, lo) 32-bit pairs, strings as 64-bit identity hashes);
+- zonemaps as `[n_chunks]` device arrays; Bloom filters as one
+  `uint32[n_chunks, words]` bit matrix per string column.
+
+A query runs three device programs: (1) chunk-mask pruning over zonemaps
+(produces the pruned/evaluated stats — pruning never leaves the TPU),
+(2) row-mask predicate evaluation fused with (3) MXU scoring + exact global
+top-k. The per-chunk rayon fork-join (meta.rs:678-691) is replaced by the
+XLA grid within a device and mesh sharding across devices (otters_tpu.parallel).
+
+Exactness: string equality evaluates by 64-bit hash on device and the k
+returned rows are re-verified host-side against the actual strings; on a hash
+collision (p ~ 2^-64) the query transparently re-runs with an exact
+host-computed row mask.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .column import Column
+from .display import format_build_stats, format_query_stats, metastore_head
+from .errors import ExprError, OttersError
+from .expr import ColumnFilter, CompiledFilter, Expr
+from .ops import bloom as bloom_ops
+from .ops import hashing, predicate, scoring, wide64
+from .types import Cmp, CmpOp, DataType, Metric, TakeType, default_take_type
+
+_I32 = np.iinfo(np.int32)
+_I64 = np.iinfo(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Stats / results types (reference meta.rs:23-46, 832-852)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MetaQueryStats:
+    total_chunks: int
+    pruned_chunks: int
+    evaluated_chunks: int
+    vectors_compared: int
+    prune_duration: float  # seconds
+    score_duration: float
+    merge_duration: float
+    total_duration: float
+
+
+@dataclass
+class MetaBuildStats:
+    n_rows: int
+    dim: int
+    n_chunks: int
+    vectors_ingest_duration: float
+    zonemap_build_duration: float
+    build_total_duration: float
+
+
+class MetaQueryResults:
+    """Query results with materialized metadata columns (meta.rs:23-40)."""
+
+    def __init__(
+        self,
+        columns: List[str],
+        data: Dict[str, Column],
+        indices: List[int],
+        scores: List[float],
+    ):
+        self.columns = columns
+        self.data = data
+        self.indices = indices
+        self.scores = scores
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def is_empty(self) -> bool:
+        return not self.indices
+
+    def column(self, name: str) -> Optional[Column]:
+        return self.data.get(name)
+
+    def __str__(self) -> str:
+        from .display import AsciiTable, format_cell
+
+        headers = ["index", "score"] + list(self.columns)
+        rows = []
+        for i in range(len(self)):
+            line = [str(self.indices[i]), f"{self.scores[i]:.6f}"]
+            for c in self.columns:
+                col = self.data.get(c)
+                line.append(format_cell(col, i) if col is not None else "")
+            rows.append(line)
+        return AsciiTable(headers, rows).render()
+
+    def __repr__(self) -> str:
+        return str(self)
+
+
+# ---------------------------------------------------------------------------
+# Device state construction
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(arr: np.ndarray, n_pad: int, fill) -> np.ndarray:
+    out = np.full((n_pad,) + arr.shape[1:], fill, dtype=arr.dtype)
+    out[: len(arr)] = arr
+    return out
+
+
+def _chunk_offsets(n: int, c: int) -> np.ndarray:
+    return np.arange(0, n, c, dtype=np.int64)
+
+
+def _build_device_column(
+    col: Column, n: int, n_pad: int, chunk_size: int, n_chunks: int, bloom_cfg
+):
+    """-> (repr, device dict of jnp arrays, host aux) for one column."""
+    import jax.numpy as jnp
+
+    nulls = np.asarray(col.null_mask(), dtype=bool)[:n]
+    null_pad = _pad_to(nulls, n_pad, True)
+    offs = _chunk_offsets(n, chunk_size)
+    non_null = np.add.reduceat((~nulls).astype(np.int32), offs) if n else np.zeros(
+        n_chunks, np.int32
+    )
+    dt = col.dtype
+    dev: Dict[str, object] = {"null": jnp.asarray(null_pad)}
+    aux = None
+
+    if dt in (DataType.Int32, DataType.Float32):
+        vals = np.asarray(col.values(), dtype=dt.numpy_dtype)[:n]
+        if dt is DataType.Int32:
+            lo = np.where(nulls, _I32.max, vals)
+            hi = np.where(nulls, _I32.min, vals)
+            zmin = np.minimum.reduceat(lo, offs) if n else np.zeros(0, np.int32)
+            zmax = np.maximum.reduceat(hi, offs) if n else np.zeros(0, np.int32)
+            dev["vals"] = jnp.asarray(_pad_to(vals, n_pad, _I32.min))
+        else:
+            zmin = np.fmin.reduceat(vals, offs) if n else np.zeros(0, np.float32)
+            zmax = np.fmax.reduceat(vals, offs) if n else np.zeros(0, np.float32)
+            zmin = np.where(np.isnan(zmin), np.float32(np.inf), zmin)
+            zmax = np.where(np.isnan(zmax), np.float32(-np.inf), zmax)
+            dev["vals"] = jnp.asarray(_pad_to(vals, n_pad, np.float32("nan")))
+        dev["zmin"] = jnp.asarray(zmin)
+        dev["zmax"] = jnp.asarray(zmax)
+        rep = "i32" if dt is DataType.Int32 else "f32"
+
+    elif dt in (DataType.Int64, DataType.DateTime):
+        vals = np.asarray(col.values(), dtype=np.int64)[:n]
+        vhi, vlo = wide64.split_i64(vals)
+        dev["hi"] = jnp.asarray(_pad_to(vhi, n_pad, np.int32(_I32.min)))
+        dev["lo"] = jnp.asarray(_pad_to(vlo, n_pad, np.uint32(0)))
+        lo_ = np.where(nulls, _I64.max, vals)
+        hi_ = np.where(nulls, _I64.min, vals)
+        zmin = np.minimum.reduceat(lo_, offs) if n else np.zeros(0, np.int64)
+        zmax = np.maximum.reduceat(hi_, offs) if n else np.zeros(0, np.int64)
+        zmin_hi, zmin_lo = wide64.split_i64(zmin)
+        zmax_hi, zmax_lo = wide64.split_i64(zmax)
+        dev["zmin_hi"], dev["zmin_lo"] = jnp.asarray(zmin_hi), jnp.asarray(zmin_lo)
+        dev["zmax_hi"], dev["zmax_lo"] = jnp.asarray(zmax_hi), jnp.asarray(zmax_lo)
+        rep = "w64"
+
+    elif dt is DataType.Float64:
+        vals = np.asarray(col.values(), dtype=np.float64)[:n]
+        vhi, vlo = wide64.split_f64(vals)  # ordered-integer domain
+        dev["hi"] = jnp.asarray(_pad_to(vhi, n_pad, np.uint32(0)))
+        dev["lo"] = jnp.asarray(_pad_to(vlo, n_pad, np.uint32(0)))
+        # fmin/fmax skip NaN values like the reference fold (meta_compute.rs:84-98)
+        zmin = np.fmin.reduceat(vals, offs) if n else np.zeros(0, np.float64)
+        zmax = np.fmax.reduceat(vals, offs) if n else np.zeros(0, np.float64)
+        zmin = np.where(np.isnan(zmin), np.inf, zmin)
+        zmax = np.where(np.isnan(zmax), -np.inf, zmax)
+        zmin_hi, zmin_lo = wide64.split_f64(zmin)
+        zmax_hi, zmax_lo = wide64.split_f64(zmax)
+        dev["zmin_hi"], dev["zmin_lo"] = jnp.asarray(zmin_hi), jnp.asarray(zmin_lo)
+        dev["zmax_hi"], dev["zmax_lo"] = jnp.asarray(zmax_hi), jnp.asarray(zmax_lo)
+        rep = "w64f"
+
+    else:  # String
+        strings = list(col.values())[:n]
+        g1, g2 = hashing.hash_strings(strings)
+        rh_hi, rh_lo = hashing.identity_halves(g1)
+        # null rows get a hash no real string maps to, to be safe under Neq
+        rh_hi = np.where(nulls, np.uint32(0), rh_hi)
+        rh_lo = np.where(nulls, np.uint32(0), rh_lo)
+        dev["rh_hi"] = jnp.asarray(_pad_to(rh_hi, n_pad, np.uint32(0)))
+        dev["rh_lo"] = jnp.asarray(_pad_to(rh_lo, n_pad, np.uint32(0)))
+        kind, val = bloom_cfg
+        if kind == "fpr":
+            params = bloom_ops.BloomParams.from_fpr(val, chunk_size)
+        else:
+            params = bloom_ops.BloomParams.from_bits(val, chunk_size)
+        chunk_ids = np.arange(n, dtype=np.int64) // chunk_size
+        matrix = bloom_ops.build_matrix(g1, g2, nulls, chunk_ids, n_chunks, params)
+        dev["bloom"] = jnp.asarray(matrix)
+        aux = params
+        rep = "str"
+
+    dev["non_null"] = jnp.asarray(non_null.astype(np.int32))
+    return rep, dev, aux
+
+
+# ---------------------------------------------------------------------------
+# Jitted mask programs
+# ---------------------------------------------------------------------------
+
+
+def _jit_mask_programs():
+    import jax
+
+    @partial(jax.jit, static_argnames=("plan_static",))
+    def chunk_mask_stats(cols, chunk_lens, plan_params, plan_static):
+        mask = predicate.chunk_mask(
+            plan_static, plan_params, cols, chunk_lens.shape[0]
+        )
+        evaluated = mask.sum(dtype=np.int32)
+        rows_eval = (chunk_lens * mask).sum(dtype=np.int32)
+        return mask, evaluated, rows_eval
+
+    @partial(jax.jit, static_argnames=("plan_static", "n_pad"))
+    def row_mask_program(cols, plan_params, plan_static, n_pad):
+        return predicate.row_mask(plan_static, plan_params, cols, n_pad)
+
+    return chunk_mask_stats, row_mask_program
+
+
+_chunk_mask_stats, _row_mask_program = _jit_mask_programs()
+
+
+# ---------------------------------------------------------------------------
+# MetaStore + builder
+# ---------------------------------------------------------------------------
+
+
+class MetaStoreBuilder:
+    """Builder (reference meta.rs:62-110, 113-148)."""
+
+    def __init__(self, schema: Dict[str, DataType], columns: Dict[str, Column]):
+        self._schema = dict(schema)
+        self._columns = dict(columns)
+        self._vectors = None
+        self._chunk_size = 1024
+        self._bloom: Tuple[str, float] = ("fpr", 0.01)
+
+    def with_vectors(self, vectors) -> "MetaStoreBuilder":
+        self._vectors = vectors
+        return self
+
+    def with_chunk_size(self, chunk_size: int) -> "MetaStoreBuilder":
+        self._chunk_size = max(1, int(chunk_size))
+        return self
+
+    def with_bloom_fpr(self, fpr: float) -> "MetaStoreBuilder":
+        f = float(fpr)
+        f = min(max(f, 1e-2), 0.5) if np.isfinite(f) else 0.01
+        self._bloom = ("fpr", f)
+        return self
+
+    def with_bloom_bits(self, bits: int) -> "MetaStoreBuilder":
+        self._bloom = ("bits", max(64, int(bits)))
+        return self
+
+    def with_column(self, name: str, column: Column) -> "MetaStoreBuilder":
+        if name not in self._schema:
+            raise OttersError(f"unknown column '{name}' not present in schema")
+        if self._schema[name] is not column.dtype:
+            raise OttersError(
+                f"dtype mismatch for column '{name}': schema "
+                f"{self._schema[name]!r}, got {column.dtype!r}"
+            )
+        self._columns[name] = column
+        return self
+
+    def with_columns(self, columns: List[Tuple[str, Column]]) -> "MetaStoreBuilder":
+        for name, c in columns:
+            self.with_column(name, c)
+        return self
+
+    def build(self) -> "MetaStore":
+        if self._vectors is None:
+            raise OttersError("vectors must be provided to build MetaStore")
+        vectors = self._vectors
+        if not isinstance(vectors, np.ndarray):
+            vecs_list = [np.asarray(v, dtype=np.float32) for v in vectors]
+            n_rows = len(vecs_list)
+            dim = vecs_list[0].shape[0] if n_rows else 0
+            for i, v in enumerate(vecs_list):
+                if v.shape[0] != dim:
+                    raise OttersError(
+                        f"vector at index {i} has dim {v.shape[0]}, expected {dim}"
+                    )
+            vectors = (
+                np.stack(vecs_list, axis=0)
+                if n_rows
+                else np.zeros((0, dim), np.float32)
+            )
+        else:
+            vectors = vectors.astype(np.float32, copy=False)
+            n_rows, dim = vectors.shape if vectors.ndim == 2 else (len(vectors), 0)
+        if dim == 0 and n_rows > 0:
+            raise OttersError("vector dimension cannot be zero")
+
+        for name in self._schema:
+            colo = self._columns.get(name)
+            if colo is None:
+                raise OttersError(f"missing column '{name}' in builder columns")
+            if len(colo) != n_rows:
+                raise OttersError(
+                    f"column '{name}' length {len(colo)} does not match vectors "
+                    f"length {n_rows}"
+                )
+
+        build_start = time.perf_counter()
+
+        # vector ingest: host -> HBM + on-device norm computation
+        ingest_start = time.perf_counter()
+        dv = scoring.materialize(vectors)
+        import jax
+
+        jax.block_until_ready(dv)
+        ingest_dur = time.perf_counter() - ingest_start
+
+        n_pad = dv.vectors.shape[0]
+        c = self._chunk_size
+        n_chunks = -(-n_rows // c) if n_rows else 0
+
+        zstart = time.perf_counter()
+        device_cols: Dict[str, Dict] = {}
+        col_reprs: Dict[str, str] = {}
+        bloom_params: Dict[str, bloom_ops.BloomParams] = {}
+        for name in self._schema:
+            rep, devcol, aux = _build_device_column(
+                self._columns[name], n_rows, n_pad, c, n_chunks, self._bloom
+            )
+            device_cols[name] = devcol
+            col_reprs[name] = rep
+            if aux is not None:
+                bloom_params[name] = aux
+        chunk_lens = np.minimum(
+            np.full(n_chunks, c, dtype=np.int32),
+            n_rows - np.arange(n_chunks, dtype=np.int64) * c,
+        ).astype(np.int32)
+        zonemap_dur = time.perf_counter() - zstart
+
+        store = MetaStore(self._schema)
+        store._columns = self._columns
+        store._chunk_size = c
+        store._n_rows = n_rows
+        store._dim = dim
+        store._n_chunks = n_chunks
+        store._dv = dv
+        store._device_cols = device_cols
+        store._col_reprs = col_reprs
+        store._bloom_params = bloom_params
+        import jax.numpy as jnp
+
+        store._chunk_lens = jnp.asarray(chunk_lens)
+        store._build_stats = MetaBuildStats(
+            n_rows=n_rows,
+            dim=dim,
+            n_chunks=n_chunks,
+            vectors_ingest_duration=ingest_dur,
+            zonemap_build_duration=zonemap_dur,
+            build_total_duration=time.perf_counter() - build_start,
+        )
+        return store
+
+
+class MetaStore:
+    """Device-resident vector+metadata store (reference meta.rs:49-577)."""
+
+    def __init__(self, schema):
+        if isinstance(schema, dict):
+            self._schema = dict(schema)
+        else:
+            self._schema = {name: dt for name, dt in schema}
+        self._columns = {
+            name: Column(name, dt) for name, dt in self._schema.items()
+        }
+        self._chunk_size = 1024
+        self._n_rows = 0
+        self._dim = 0
+        self._n_chunks = 0
+        self._dv: Optional[scoring.DeviceVecs] = None
+        self._device_cols: Dict[str, Dict] = {}
+        self._col_reprs: Dict[str, str] = {}
+        self._bloom_params: Dict[str, bloom_ops.BloomParams] = {}
+        self._chunk_lens = None
+        self._build_stats: Optional[MetaBuildStats] = None
+        self._last_stats: Optional[MetaQueryStats] = None
+        self.precision: str = "highest"
+
+    # -- constructors ------------------------------------------------------
+    @staticmethod
+    def new(schema) -> "MetaStore":
+        return MetaStore(schema)
+
+    @staticmethod
+    def from_columns(columns: List[Column]) -> MetaStoreBuilder:
+        schema = {c.name: c.dtype for c in columns}
+        return MetaStoreBuilder(schema, {c.name: c for c in columns})
+
+    @staticmethod
+    def from_schema(schema) -> MetaStoreBuilder:
+        schema_map = {name: dt for name, dt in schema}
+        cols = {name: Column(name, dt) for name, dt in schema_map.items()}
+        return MetaStoreBuilder(schema_map, cols)
+
+    # -- accessors ----------------------------------------------------------
+    def schema(self) -> Dict[str, DataType]:
+        return self._schema
+
+    def columns(self) -> Dict[str, Column]:
+        return self._columns
+
+    def n_chunks(self) -> int:
+        return self._n_chunks
+
+    def chunk_size(self) -> int:
+        return self._chunk_size
+
+    @property
+    def n_rows(self) -> int:
+        return self._n_rows
+
+    def __len__(self) -> int:
+        return self._n_rows
+
+    def last_query_stats(self) -> Optional[MetaQueryStats]:
+        return self._last_stats
+
+    def build_stats(self) -> Optional[MetaBuildStats]:
+        return self._build_stats
+
+    # -- display -------------------------------------------------------------
+    def head(self) -> None:
+        self.head_n(5)
+
+    def head_n(self, n: int) -> None:
+        print(metastore_head(self, n))
+
+    def print_build_stats(self) -> None:
+        if self._build_stats is not None:
+            print(format_build_stats(self._build_stats))
+        else:
+            print("(no build stats)")
+
+    def print_last_query_stats(self) -> None:
+        if self._last_stats is not None:
+            print(format_query_stats(self._last_stats))
+        else:
+            print("(no query stats)")
+
+    def print_last_stats(self) -> None:
+        self.print_build_stats()
+        self.print_last_query_stats()
+
+    # -- query ---------------------------------------------------------------
+    def query(self, query, metric: Metric) -> "MetaQueryPlan":
+        return MetaQueryPlan(self, [np.asarray(query, dtype=np.float32)], metric)
+
+    def query_batch(self, queries, metric: Metric) -> "MetaQueryPlan":
+        qs = [np.asarray(q, dtype=np.float32) for q in queries]
+        return MetaQueryPlan(self, qs, metric)
+
+
+# ---------------------------------------------------------------------------
+# Query plan
+# ---------------------------------------------------------------------------
+
+
+class MetaQueryPlan:
+    """Lazy meta-query builder with deferred compile errors (meta.rs:579-630)."""
+
+    def __init__(self, store: MetaStore, queries: List[np.ndarray], metric: Metric):
+        self._store = store
+        self._queries = queries
+        self._metric = metric
+        self._meta_filter: Optional[CompiledFilter] = None
+        self._meta_error: Optional[str] = None
+        self._vec_filter: Optional[Tuple[float, Cmp]] = None
+        self._take_type: Optional[TakeType] = None
+        self._take_count: Optional[int] = None
+
+    def meta_filter(self, expr: Expr) -> "MetaQueryPlan":
+        try:
+            self._meta_filter = expr.compile(self._store.schema())
+            self._meta_error = None
+        except ExprError as e:
+            self._meta_error = f"meta_filter compile error: {e}"
+        return self
+
+    def vec_filter(self, score: float, cmp: Cmp) -> "MetaQueryPlan":
+        self._vec_filter = (float(score), cmp)
+        return self
+
+    def take(self, k: int) -> "MetaQueryPlan":
+        self._take_count = int(k)
+        self._take_type = default_take_type(self._metric)
+        return self
+
+    # -- leaf lowering --------------------------------------------------------
+    def _lower_leaf(self, leaf: ColumnFilter):
+        """-> (static descriptor, traced params tuple)."""
+        store = self._store
+        dtype = store.schema()[leaf.column]
+        import jax.numpy as jnp
+
+        if leaf.kind == "string":
+            g1, _ = hashing.hash_string(leaf.rhs)
+            rh_hi = np.uint32(g1 >> 32)
+            rh_lo = np.uint32(g1 & 0xFFFFFFFF)
+            params = store._bloom_params[leaf.column]
+            words, masks = bloom_ops.probe_coords(leaf.rhs, params)
+            return ("str", leaf.column, leaf.cmp), (
+                jnp.asarray(rh_hi),
+                jnp.asarray(rh_lo),
+                jnp.asarray(words),
+                jnp.asarray(masks),
+            )
+        if dtype is DataType.Int32:
+            thr = np.int64(leaf.rhs).astype(np.int32)  # wrapping, like `as i32`
+            return ("i32", leaf.column, leaf.cmp), (jnp.asarray(thr),)
+        if dtype is DataType.Float32:
+            return ("f32", leaf.column, leaf.cmp), (
+                jnp.asarray(np.float32(leaf.rhs)),
+            )
+        if dtype in (DataType.Int64, DataType.DateTime):
+            hi, lo = wide64.split_i64_scalar(int(leaf.rhs))
+            return ("w64", leaf.column, leaf.cmp), (
+                jnp.asarray(hi),
+                jnp.asarray(lo),
+            )
+        # Float64
+        rhs = float(leaf.rhs)
+        if np.isnan(rhs):
+            return ("nanthr", leaf.column, leaf.cmp), ()
+        hi, lo = wide64.split_f64_scalar(rhs)
+        return ("w64f", leaf.column, leaf.cmp), (jnp.asarray(hi), jnp.asarray(lo))
+
+    def _lower_plan(self):
+        assert self._meta_filter is not None
+        static_clauses = []
+        param_clauses = []
+        used_cols = set()
+        for clause in self._meta_filter.clauses:
+            st, pr = [], []
+            for leaf in clause:
+                s, p = self._lower_leaf(leaf)
+                st.append(s)
+                pr.append(p)
+                used_cols.add(leaf.column)
+            static_clauses.append(tuple(st))
+            param_clauses.append(tuple(pr))
+        return tuple(static_clauses), tuple(param_clauses), used_cols
+
+    # -- host-exact fallbacks ---------------------------------------------------
+    def _row_satisfies(self, i: int) -> bool:
+        """Host CNF evaluation for one row (exact, used for verification)."""
+        assert self._meta_filter is not None
+        cols = self._store.columns()
+        for clause in self._meta_filter.clauses:
+            ok = False
+            for leaf in clause:
+                c = cols[leaf.column]
+                if bool(c.null_mask()[i]):
+                    continue
+                v = c.values()[i]
+                if leaf.kind == "string":
+                    sat = (v == leaf.rhs) if leaf.cmp is CmpOp.Eq else (
+                        v != leaf.rhs if leaf.cmp is CmpOp.Neq else False
+                    )
+                else:
+                    # .item() yields exact Python scalars; int/float compares
+                    # in Python are exact (no 64-bit precision loss)
+                    sat = _num_cmp(np.asarray(v).item(), leaf.rhs, leaf.cmp)
+                if sat:
+                    ok = True
+                    break
+            if not ok:
+                return False
+        return True
+
+    def _host_exact_row_mask(self, n_pad: int) -> np.ndarray:
+        """Vectorized exact host row mask (collision fallback path)."""
+        assert self._meta_filter is not None
+        store = self._store
+        n = store.n_rows
+        acc = np.ones(n_pad, dtype=bool)
+        acc[n:] = False
+        for clause in self._meta_filter.clauses:
+            cm = np.zeros(n, dtype=bool)
+            for leaf in clause:
+                c = store.columns()[leaf.column]
+                nulls = np.asarray(c.null_mask(), dtype=bool)[:n]
+                if leaf.kind == "string":
+                    vals = np.asarray(c.values()[:n], dtype=object)
+                    if leaf.cmp is CmpOp.Eq:
+                        m = vals == leaf.rhs
+                    elif leaf.cmp is CmpOp.Neq:
+                        m = vals != leaf.rhs
+                    else:
+                        m = np.zeros(n, dtype=bool)
+                else:
+                    vals = np.asarray(c.values()[:n])
+                    m = _np_cmp(vals, leaf.rhs, leaf.cmp)
+                cm |= np.asarray(m, dtype=bool) & ~nulls
+            pad = np.zeros(n_pad, dtype=bool)
+            pad[:n] = cm
+            acc &= pad
+        return acc
+
+    # -- execution ----------------------------------------------------------
+    def collect(self) -> MetaQueryResults:
+        import jax
+
+        if self._meta_error is not None:
+            raise OttersError(self._meta_error)
+        store = self._store
+        total_start = time.perf_counter()
+        k = self._take_count if self._take_count is not None else store.n_rows
+        take_type = self._take_type or default_take_type(self._metric)
+        queries = (
+            np.stack(self._queries, axis=0)
+            if self._queries
+            else np.zeros((0, store._dim), np.float32)
+        )
+        b = queries.shape[0]
+        n_chunks = store.n_chunks()
+        has_filter = self._meta_filter is not None and len(
+            self._meta_filter.clauses
+        ) > 0
+
+        # ---- prune phase: chunk mask over zonemaps (device) ----
+        prune_start = time.perf_counter()
+        if has_filter and n_chunks > 0:
+            plan_static, plan_params, used = self._lower_plan()
+            cols_sub = {name: store._device_cols[name] for name in used}
+            _, evaluated, rows_eval = _chunk_mask_stats(
+                cols_sub, store._chunk_lens, plan_params, plan_static
+            )
+            evaluated = int(jax.block_until_ready(evaluated))
+            rows_eval = int(rows_eval)
+        else:
+            plan_static, plan_params, cols_sub = (), (), {}
+            evaluated = n_chunks
+            rows_eval = store.n_rows
+        prune_dur = time.perf_counter() - prune_start
+
+        # ---- score phase: row mask + MXU scoring + global top-k ----
+        score_start = time.perf_counter()
+        indices: List[int] = []
+        scores: List[float] = []
+        if store.n_rows > 0 and k > 0 and b > 0:
+            if queries.shape[1] != store._dim:
+                raise OttersError(
+                    f"Query vector length {queries.shape[1]} does not match "
+                    f"expected dimension {store._dim}"
+                )
+            dv = store._dv
+            n_pad = dv.vectors.shape[0]
+            row_mask = None
+            if has_filter:
+                row_mask = _row_mask_program(
+                    cols_sub, plan_params, plan_static, n_pad
+                )
+            thr, cmp = (None, None) if self._vec_filter is None else self._vec_filter
+            rows, scrs, valid = scoring.run_vec_topk(
+                dv,
+                queries,
+                self._metric,
+                k,
+                take_min=(take_type is TakeType.Min),
+                cmp=cmp,
+                thr=thr,
+                row_mask=row_mask,
+                prec=store.precision,
+            )
+            indices = [int(r) for r, ok in zip(rows, valid) if ok]
+            scores = [float(s) for s, ok in zip(scrs, valid) if ok]
+
+            # exactness guard: verify string-predicate hits host-side; on a
+            # hash collision re-run with an exact host row mask (p ~ 2^-64)
+            if has_filter and any(
+                lf.kind == "string"
+                for cl in self._meta_filter.clauses
+                for lf in cl
+            ):
+                if not all(self._row_satisfies(i) for i in indices):
+                    exact_mask = self._host_exact_row_mask(n_pad)
+                    rows, scrs, valid = scoring.run_vec_topk(
+                        dv,
+                        queries,
+                        self._metric,
+                        k,
+                        take_min=(take_type is TakeType.Min),
+                        cmp=cmp,
+                        thr=thr,
+                        row_mask=exact_mask,
+                        prec=store.precision,
+                    )
+                    indices = [int(r) for r, ok in zip(rows, valid) if ok]
+                    scores = [float(s) for s, ok in zip(scrs, valid) if ok]
+        score_dur = time.perf_counter() - score_start
+
+        # ---- merge phase: result-column materialization (host) ----
+        merge_start = time.perf_counter()
+        col_names = sorted(store.schema().keys())
+        data: Dict[str, Column] = {}
+        for name in col_names:
+            src = store.columns()[name]
+            dst = Column(name, src.dtype)
+            nulls = src.null_mask()
+            vals = src.values()
+            for gi in indices:
+                if gi < len(nulls) and bool(nulls[gi]):
+                    dst.push(None)
+                else:
+                    v = vals[gi]
+                    if src.dtype is DataType.String:
+                        dst.push(v)
+                    elif src.dtype is DataType.DateTime:
+                        dst.push(int(v))
+                    elif src.dtype in (DataType.Int32, DataType.Int64):
+                        dst.push(int(v))
+                    else:
+                        dst.push(float(v))
+            data[name] = dst
+        merge_dur = time.perf_counter() - merge_start
+
+        store._last_stats = MetaQueryStats(
+            total_chunks=n_chunks,
+            pruned_chunks=n_chunks - evaluated,
+            evaluated_chunks=evaluated,
+            vectors_compared=rows_eval * b,
+            prune_duration=prune_dur,
+            score_duration=score_dur,
+            merge_duration=merge_dur,
+            total_duration=time.perf_counter() - total_start,
+        )
+        return MetaQueryResults(col_names, data, indices, scores)
+
+
+def _num_cmp(v: float, t: float, cmp: CmpOp) -> bool:
+    if cmp is CmpOp.Eq:
+        return v == t
+    if cmp is CmpOp.Neq:
+        return v != t
+    if cmp is CmpOp.Lt:
+        return v < t
+    if cmp is CmpOp.Lte:
+        return v <= t
+    if cmp is CmpOp.Gt:
+        return v > t
+    return v >= t
+
+
+def _np_cmp(vals: np.ndarray, t, cmp: CmpOp) -> np.ndarray:
+    if cmp is CmpOp.Eq:
+        return vals == t
+    if cmp is CmpOp.Neq:
+        return vals != t
+    if cmp is CmpOp.Lt:
+        return vals < t
+    if cmp is CmpOp.Lte:
+        return vals <= t
+    if cmp is CmpOp.Gt:
+        return vals > t
+    return vals >= t

@@ -1,0 +1,353 @@
+"""Batched scoring + exact global top-k: the TPU hot path.
+
+This module replaces the reference's entire SIMD scoring stack — the 8-lane
+distance kernels (``src/vec_compute.rs:9-54``), the streaming ``TopKCollector``
+with its fused filter/effective-threshold logic (``vec_compute.rs:77-294``) and
+the 8-row block loop (``src/vec.rs:222-267``) — with two XLA programs:
+
+1. **direct path** (small B*N): one MXU matmul producing the `[B, N]` score
+   matrix, fused masking (validity, row mask, score filter, NaN drop), then a
+   single `lax.top_k` over the flattened candidates. All queries merge into
+   one global top-k, matching the reference's single-collector semantics
+   (``vec.rs:217-219``).
+
+2. **streaming path** (large N): `lax.scan` over row tiles; each step scores
+   one `[B, TILE]` block on the MXU and merges it into a carried top-k buffer
+   *only when the block can improve the current k-th best* — the TPU analog
+   of the reference's effective-threshold early-out (``vec_compute.rs:96-165``).
+   The `[B, N]` score matrix is never materialized in HBM, so the scan is
+   HBM-bandwidth-bound on reading the vectors exactly once.
+
+Scores are f32 with HIGHEST MXU precision by default (exact search contract);
+"default" / "bf16" precision are available as speed knobs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import OttersError
+from ..types import Cmp, Metric
+
+# Rows are padded to a multiple of SCAN_TILE for large stores so the scan can
+# reshape [N, D] -> [n_tiles, TILE, D] without remainder handling.
+SCAN_TILE = 8192
+# Largest flattened candidate count (B * N_pad) handled by the direct path.
+DIRECT_LIMIT = 1 << 22
+SMALL_PAD = 128
+
+
+class DeviceVecs(NamedTuple):
+    """Device-resident vector store (reference VecStore, vec.rs:338-344).
+
+    vectors  : [N_pad, D] float32 (or bfloat16) in HBM
+    norms_sq : [N_pad]    float32, squared L2 norms (0 for padding)
+    inv_norms: [N_pad]    float32, 1/||v|| with 0 for zero-norm rows
+                (matches vec.rs:365-367)
+    valid    : [N_pad]    bool, False for padding rows
+    """
+
+    vectors: jax.Array
+    norms_sq: jax.Array
+    inv_norms: jax.Array
+    valid: jax.Array
+
+
+def pad_rows(n: int) -> int:
+    """Padded row count for a store of n vectors."""
+    if n > DIRECT_LIMIT // 8:  # large store: align to the scan tile
+        tile = SCAN_TILE
+    else:
+        tile = SMALL_PAD
+    return max(tile, -(-n // tile) * tile)
+
+
+def materialize(vectors_np: np.ndarray, dtype=jnp.float32) -> DeviceVecs:
+    """Ship an [n, d] host array to HBM with norms computed on device."""
+    n, d = vectors_np.shape
+    n_pad = pad_rows(n)
+    host = np.zeros((n_pad, d), dtype=np.float32)
+    host[:n] = vectors_np
+    vecs = jnp.asarray(host, dtype=dtype)
+    valid = jnp.arange(n_pad, dtype=jnp.int32) < n
+    norms_sq, inv_norms = _device_norms(vecs)
+    return DeviceVecs(vecs, norms_sq, inv_norms, valid)
+
+
+@jax.jit
+def _device_norms(vecs):
+    v32 = vecs.astype(jnp.float32)
+    norms_sq = jnp.sum(v32 * v32, axis=1)
+    norms = jnp.sqrt(norms_sq)
+    inv = jnp.where(norms != 0.0, 1.0 / norms, 0.0)
+    return norms_sq, inv
+
+
+def _precision(p: str):
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+        "bf16": jax.lax.Precision.DEFAULT,
+    }[p]
+
+
+def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: str):
+    """[B, D] x [T, D] -> [B, T] scores on the MXU.
+
+    cosine   = (q . v) * inv||q|| * inv||v||   (vec_compute.rs:25-32)
+    euclid   = ||q||^2 + ||v||^2 - 2 q . v     (squared, vec_compute.rs:35-54)
+    dot      = q . v
+    """
+    dots = jnp.matmul(
+        queries,
+        vecs.T,
+        precision=_precision(prec),
+        preferred_element_type=jnp.float32,
+    )
+    if metric is Metric.DotProduct:
+        return dots
+    if metric is Metric.Cosine:
+        return dots * q_inv[:, None] * v_inv[None, :]
+    return q_sq[:, None] + v_sq[None, :] - 2.0 * dots
+
+
+def _filter_ok(scores, thr, cmp: Optional[Cmp]):
+    if cmp is None:
+        return jnp.ones(scores.shape, dtype=jnp.bool_)
+    if cmp is Cmp.Lt:
+        return scores < thr
+    if cmp is Cmp.Gt:
+        return scores > thr
+    if cmp is Cmp.Lte:
+        return scores <= thr
+    if cmp is Cmp.Gte:
+        return scores >= thr
+    return scores == thr
+
+
+def _query_norms(queries):
+    q_sq = jnp.sum(queries * queries, axis=1)
+    q_norm = jnp.sqrt(q_sq)
+    q_inv = jnp.where(q_norm != 0.0, 1.0 / q_norm, 0.0)
+    return q_sq, q_inv
+
+
+# ---------------------------------------------------------------------------
+# Direct path
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "take_min", "cmp", "prec"),
+)
+def _direct_topk(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+):
+    n_pad = vectors.shape[0]
+    q_sq, q_inv = _query_norms(queries)
+    scores = _score_block(
+        queries, q_inv, q_sq, vectors, inv_norms, norms_sq, metric, prec
+    )  # [B, N]
+    ok = valid[None, :]
+    if row_mask is not None:
+        ok = ok & row_mask[None, :]
+    ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
+
+    key = jnp.where(ok, scores, -jnp.inf if not take_min else jnp.inf)
+    if take_min:
+        key = -key
+    key_flat = key.reshape(-1)
+    top_key, top_flat = jax.lax.top_k(key_flat, k)
+    rows = (top_flat % n_pad).astype(jnp.int32)
+    out_scores = scores.reshape(-1)[top_flat]
+    out_valid = ok.reshape(-1)[top_flat]
+    return rows, out_scores, out_valid
+
+
+# ---------------------------------------------------------------------------
+# Streaming path (lax.scan over row tiles with threshold early-out)
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "take_min", "cmp", "prec", "tile"),
+)
+def _scan_topk(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+    tile: int,
+):
+    n_pad, d = vectors.shape
+    b = queries.shape[0]
+    n_tiles = n_pad // tile
+    q_sq, q_inv = _query_norms(queries)
+
+    vecs_t = vectors.reshape(n_tiles, tile, d)
+    nsq_t = norms_sq.reshape(n_tiles, tile)
+    inv_t = inv_norms.reshape(n_tiles, tile)
+    valid_t = valid.reshape(n_tiles, tile)
+    rmask_t = None if row_mask is None else row_mask.reshape(n_tiles, tile)
+
+    kk = min(k, b * tile)  # per-merge candidate width
+
+    def step(carry, inputs):
+        best_key, best_row, best_score, best_valid = carry
+        if rmask_t is None:
+            t_idx, v, nsq, vinv, vld = inputs
+            rm = None
+        else:
+            t_idx, v, nsq, vinv, vld, rm = inputs
+        scores = _score_block(queries, q_inv, q_sq, v, vinv, nsq, metric, prec)
+        ok = vld[None, :]
+        if rm is not None:
+            ok = ok & rm[None, :]
+        ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
+        key = jnp.where(ok, scores, -jnp.inf if not take_min else jnp.inf)
+        if take_min:
+            key = -key
+        key_flat = key.reshape(-1)
+
+        # TPU analog of the reference's effective-threshold early-out
+        # (vec_compute.rs:96-165): skip the expensive merge when no candidate
+        # in this tile beats the current k-th best.
+        kth = best_key[-1]
+        can_improve = jnp.max(key_flat) > kth
+
+        def merge(_):
+            t_key, t_flat = jax.lax.top_k(key_flat, kk)
+            t_row = (t_idx * tile + t_flat % tile).astype(jnp.int32)
+            t_score = scores.reshape(-1)[t_flat]
+            t_valid = ok.reshape(-1)[t_flat]
+            m_key = jnp.concatenate([best_key, t_key])
+            m_row = jnp.concatenate([best_row, t_row])
+            m_score = jnp.concatenate([best_score, t_score])
+            m_valid = jnp.concatenate([best_valid, t_valid])
+            nk, sel = jax.lax.top_k(m_key, k)
+            return nk, m_row[sel], m_score[sel], m_valid[sel]
+
+        carry = jax.lax.cond(
+            can_improve,
+            merge,
+            lambda _: (best_key, best_row, best_score, best_valid),
+            None,
+        )
+        return carry, None
+
+    init = (
+        jnp.full((k,), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((k,), dtype=jnp.int32),
+        jnp.zeros((k,), dtype=jnp.float32),
+        jnp.zeros((k,), dtype=jnp.bool_),
+    )
+    tiles_idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    xs = (
+        (tiles_idx, vecs_t, nsq_t, inv_t, valid_t)
+        if rmask_t is None
+        else (tiles_idx, vecs_t, nsq_t, inv_t, valid_t, rmask_t)
+    )
+    (best_key, best_row, best_score, best_valid), _ = jax.lax.scan(step, init, xs)
+    return best_row, best_score, best_valid
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def run_vec_topk(
+    dv: DeviceVecs,
+    queries: np.ndarray,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    thr: Optional[float],
+    row_mask=None,
+    prec: str = "highest",
+):
+    """Execute the scoring program; returns host (rows, scores, valid)."""
+    n_pad = dv.vectors.shape[0]
+    b = queries.shape[0]
+    k_eff = min(k, b * n_pad)
+    if k_eff <= 0:
+        return np.array([], np.int32), np.array([], np.float32), np.array([], bool)
+
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    thr_arr = jnp.float32(0.0) if thr is None else jnp.float32(thr)
+    cmp_eff = None if thr is None else cmp
+    rm = None if row_mask is None else jnp.asarray(row_mask)
+
+    use_direct = b * n_pad <= DIRECT_LIMIT or n_pad % SCAN_TILE != 0
+    if not use_direct and k_eff > DIRECT_LIMIT // 4:
+        # Huge k over a huge store: fall back to direct only if the score
+        # matrix fits in HBM comfortably, else refuse with guidance.
+        if b * n_pad * 4 <= 2 << 30:
+            use_direct = True
+        else:
+            raise OttersError(
+                f"take({k}) over {b} queries x {n_pad} rows is too large for "
+                "device memory; use an explicit smaller take(k)"
+            )
+
+    if use_direct:
+        rows, scores, valid = _direct_topk(
+            dv.vectors,
+            dv.norms_sq,
+            dv.inv_norms,
+            dv.valid,
+            q,
+            rm,
+            thr_arr,
+            metric=metric,
+            k=k_eff,
+            take_min=take_min,
+            cmp=cmp_eff,
+            prec=prec,
+        )
+    else:
+        rows, scores, valid = _scan_topk(
+            dv.vectors,
+            dv.norms_sq,
+            dv.inv_norms,
+            dv.valid,
+            q,
+            rm,
+            thr_arr,
+            metric=metric,
+            k=k_eff,
+            take_min=take_min,
+            cmp=cmp_eff,
+            prec=prec,
+            tile=SCAN_TILE,
+        )
+    return np.asarray(rows), np.asarray(scores), np.asarray(valid)

@@ -1,0 +1,122 @@
+"""Core enums and small value types.
+
+TPU-native re-design of the reference's core types:
+- ``DataType``   <-> reference ``src/type_utils.rs:11-19``
+- ``Metric``     <-> ``src/vec.rs:11-16``
+- ``TakeType``   <-> ``src/vec.rs:18-22``
+- ``Cmp``        <-> ``src/vec.rs:24-31`` (score filters)
+- ``CmpOp``      <-> ``src/expr.rs:83-91`` (metadata predicates)
+- ``SearchResult`` <-> ``src/vec.rs:33-53``
+
+Each DataType also carries its on-device representation. TPUs have no native
+64-bit scalar path worth using (and no f64 at all), so Int64 / DateTime /
+Float64 columns are decomposed into exact (hi, lo) pairs of 32-bit device
+arrays — see ``otters_tpu.ops.wide64``.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class DataType(enum.Enum):
+    Int32 = "Int32"
+    Int64 = "Int64"
+    Float32 = "Float32"
+    Float64 = "Float64"
+    String = "String"
+    DateTime = "DateTime"
+
+    def __repr__(self) -> str:  # match Rust Debug formatting used in messages
+        return self.value
+
+    @property
+    def numpy_dtype(self):
+        """Host-side storage dtype (sentinel + null-mask scheme, col.rs:238-326)."""
+        return _NUMPY_DTYPES[self]
+
+    @property
+    def sentinel(self):
+        """Value stored for nulls (reference col.rs:242,257,272,287,302,317)."""
+        return _SENTINELS[self]
+
+    @property
+    def is_numeric(self) -> bool:
+        return self not in (DataType.String,)
+
+    @property
+    def is_wide64(self) -> bool:
+        """True when device evaluation uses (hi, lo) 32-bit pair decomposition."""
+        return self in (DataType.Int64, DataType.DateTime, DataType.Float64)
+
+
+_NUMPY_DTYPES = {
+    DataType.Int32: np.int32,
+    DataType.Int64: np.int64,
+    DataType.Float32: np.float32,
+    DataType.Float64: np.float64,
+    DataType.String: object,
+    DataType.DateTime: np.int64,
+}
+
+_SENTINELS = {
+    DataType.Int32: np.int32(np.iinfo(np.int32).min),
+    DataType.Int64: np.int64(np.iinfo(np.int64).min),
+    DataType.Float32: np.float32("nan"),
+    DataType.Float64: np.float64("nan"),
+    DataType.String: "",
+    DataType.DateTime: np.int64(np.iinfo(np.int64).min),
+}
+
+
+class Metric(enum.Enum):
+    Cosine = "Cosine"
+    Euclidean = "Euclidean"  # squared euclidean, like the reference
+    DotProduct = "DotProduct"
+
+
+class TakeType(enum.Enum):
+    Min = "Min"
+    Max = "Max"
+
+
+class Cmp(enum.Enum):
+    """Score-filter comparator (vec_filter / filter)."""
+
+    Lt = "Lt"
+    Gt = "Gt"
+    Lte = "Lte"
+    Gte = "Gte"
+    Eq = "Eq"
+
+
+class CmpOp(enum.Enum):
+    """Metadata predicate comparator (expression DSL)."""
+
+    Eq = "Eq"
+    Neq = "Neq"
+    Lt = "Lt"
+    Lte = "Lte"
+    Gt = "Gt"
+    Gte = "Gte"
+
+
+def default_take_type(metric: Metric) -> TakeType:
+    """Euclidean -> Min, Cosine/DotProduct -> Max (vec.rs:93-98)."""
+    return TakeType.Min if metric is Metric.Euclidean else TakeType.Max
+
+
+@dataclass(frozen=True)
+class SearchResult:
+    index: int
+    score: float
+
+    def __str__(self) -> str:
+        return f"#{self.index} score={self.score:.6f}"
+
+    @classmethod
+    def from_tuple(cls, t) -> "SearchResult":
+        return cls(index=int(t[0]), score=float(t[1]))
