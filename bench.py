@@ -1,0 +1,169 @@
+"""otters-tpu benchmark: exact filtered cosine top-10 throughput.
+
+Headline metric (BASELINE.md north star, scaled to one chip): queries/sec at
+exact top-10 over N x 768 vectors with a zonemap-pruned metadata filter,
+256-query batches, f32 HIGHEST precision (recall@10 = 1.0 by construction).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
+
+vs_baseline is measured against a CPU brute-force proxy run on this host
+(numpy/BLAS matmul + argpartition top-k, multithreaded — a stand-in for the
+reference's Rust SIMD+rayon scan, which cannot be built here: no rustc in the
+image). The proxy is measured on a subsample and scaled linearly in rows;
+the reference is credited the same 50% zonemap pruning the TPU path gets.
+Details go to stderr; the single JSON line goes to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# ---- configuration ---------------------------------------------------------
+N = 1_000_000
+D = 768
+B = 256  # queries per batch
+K = 10
+CHUNK = 1024
+TIMED_BATCHES = 8
+CPU_SUB_N = 200_000
+CPU_SUB_B = 32
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_store():
+    import jax
+
+    from otters_tpu import Column, DataType, MetaStore
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    vectors = jax.random.normal(key, (N, D), dtype=jax.numpy.float32)
+    vectors.block_until_ready()
+    log(f"device data gen: {time.perf_counter() - t0:.2f}s")
+
+    # price clustered per chunk (demo.rs pattern): even chunks expensive,
+    # odd cheap -> `price < 50` prunes exactly half the chunks.
+    idx = np.arange(N)
+    even = (idx // CHUNK) % 2 == 0
+    price = np.where(even, 80.0 + (idx % 20), 10.0 + (idx % 20)).astype(np.float64)
+    version = np.where(even, 1, 3).astype(np.int32)
+
+    cols = [
+        Column("price", DataType.Float64).from_values(list(price)),
+        Column("version", DataType.Int32).from_values(list(version)),
+    ]
+    t0 = time.perf_counter()
+    store = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(CHUNK)
+        .build()
+    )
+    bs = store.build_stats()
+    log(
+        f"build: total={bs.build_total_duration:.2f}s "
+        f"ingest={bs.vectors_ingest_duration:.2f}s "
+        f"zonemap={bs.zonemap_build_duration:.2f}s chunks={bs.n_chunks}"
+    )
+    return store
+
+
+def run_tpu(store) -> float:
+    from otters_tpu import Cmp, Metric, col
+
+    rng = np.random.default_rng(1)
+
+    def dispatch():
+        q = rng.normal(size=(B, D)).astype(np.float32)
+        return (
+            store.query_batch(list(q), Metric.Cosine)
+            .meta_filter(col("price").lt(50.0) & col("version").gte(2))
+            .vec_filter(-1.0, Cmp.Gt)
+            .take(K)
+            .collect_async()
+        )
+
+    # warm-up / compile
+    t0 = time.perf_counter()
+    r = dispatch().result()
+    log(
+        f"warm-up (compile): {time.perf_counter() - t0:.2f}s, "
+        f"{len(r)} results, stats={store.last_query_stats().evaluated_chunks}"
+        f"/{store.last_query_stats().total_chunks} chunks evaluated"
+    )
+    assert len(r) == K
+
+    # sequential (one in flight at a time)
+    t0 = time.perf_counter()
+    for _ in range(TIMED_BATCHES):
+        r = dispatch().result()
+    seq_dt = time.perf_counter() - t0
+    log(
+        f"tpu sequential: {TIMED_BATCHES} x {B} queries in {seq_dt:.3f}s -> "
+        f"{B * TIMED_BATCHES / seq_dt:.1f} q/s"
+    )
+
+    # pipelined (collect_async: dispatch all, then one batched resolve)
+    from otters_tpu.meta import resolve
+
+    t0 = time.perf_counter()
+    pending = [dispatch() for _ in range(TIMED_BATCHES)]
+    results = resolve(pending)
+    dt = time.perf_counter() - t0
+    qps = B * TIMED_BATCHES / dt
+    assert all(len(r) == K for r in results)
+    log(
+        f"tpu pipelined: {TIMED_BATCHES} x {B} queries in {dt:.3f}s -> "
+        f"{qps:.1f} q/s"
+    )
+    return qps
+
+
+def cpu_proxy_qps() -> float:
+    """CPU brute-force proxy for the reference implementation."""
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(CPU_SUB_N, D)).astype(np.float32)
+    inv = 1.0 / np.linalg.norm(vecs, axis=1)
+    q = rng.normal(size=(CPU_SUB_B, D)).astype(np.float32)
+    qinv = 1.0 / np.linalg.norm(q, axis=1)
+
+    t0 = time.perf_counter()
+    scores = (q @ vecs.T) * qinv[:, None] * inv[None, :]
+    flat = scores.reshape(-1)
+    top = np.argpartition(-flat, K)[:K]
+    _ = flat[top]
+    dt = time.perf_counter() - t0
+
+    # scale rows up to N, credit the reference the same 50% chunk pruning
+    per_query = dt / CPU_SUB_B * (N / CPU_SUB_N) * 0.5
+    qps = 1.0 / per_query
+    log(
+        f"cpu proxy: {CPU_SUB_B}q x {CPU_SUB_N} rows in {dt:.3f}s -> "
+        f"scaled (with 50% pruning credit) {qps:.2f} q/s"
+    )
+    return qps
+
+
+def main() -> None:
+    store = build_store()
+    tpu_qps = run_tpu(store)
+    cpu_qps = cpu_proxy_qps()
+    result = {
+        "metric": "filtered_cosine_exact_top10_qps_1Mx768",
+        "value": round(tpu_qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(tpu_qps / cpu_qps, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

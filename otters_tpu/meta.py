@@ -223,26 +223,86 @@ def _build_device_column(
 # ---------------------------------------------------------------------------
 
 
-def _jit_mask_programs():
+def _jit_meta_program():
     import jax
 
-    @partial(jax.jit, static_argnames=("plan_static",))
-    def chunk_mask_stats(cols, chunk_lens, plan_params, plan_static):
-        mask = predicate.chunk_mask(
-            plan_static, plan_params, cols, chunk_lens.shape[0]
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "plan_static",
+            "metric",
+            "k",
+            "take_min",
+            "cmp",
+            "prec",
+            "tile",
+        ),
+    )
+    def meta_query(
+        dv,
+        cols,
+        chunk_lens,
+        queries,
+        plan_params,
+        thr,
+        *,
+        plan_static,
+        metric,
+        k,
+        take_min,
+        cmp,
+        prec,
+        tile,
+    ):
+        """The whole meta query as ONE device program (single dispatch):
+
+        zonemap chunk-mask pruning + stats -> row-mask predicate tensors ->
+        MXU scoring with fused masking -> exact global top-k. This is the
+        fusion of the reference's prune/score/merge phases (meta.rs:632-709)
+        into a single XLA computation; nothing round-trips to the host.
+        """
+        n_pad = dv.vectors.shape[0]
+        n_chunks = chunk_lens.shape[0]
+        if plan_static:
+            cmask = predicate.chunk_mask(plan_static, plan_params, cols, n_chunks)
+            evaluated = cmask.sum(dtype=np.int32)
+            rows_eval = (chunk_lens * cmask).sum(dtype=np.int32)
+            rmask = predicate.row_mask(plan_static, plan_params, cols, n_pad)
+        else:
+            evaluated = jnp_int32(n_chunks)
+            rows_eval = chunk_lens.sum(dtype=np.int32)
+            rmask = None
+
+        args = (
+            dv.vectors,
+            dv.norms_sq,
+            dv.inv_norms,
+            dv.valid,
+            queries,
+            rmask,
+            thr,
         )
-        evaluated = mask.sum(dtype=np.int32)
-        rows_eval = (chunk_lens * mask).sum(dtype=np.int32)
-        return mask, evaluated, rows_eval
+        kwargs = dict(metric=metric, k=k, take_min=take_min, cmp=cmp, prec=prec)
+        if tile == "panel":
+            rows, scores, ok = scoring.panel_topk_core(*args, **kwargs)
+        elif tile == "scan":
+            rows, scores, ok = scoring.scan_topk_core(
+                *args, tile=scoring.SCAN_TILE, **kwargs
+            )
+        else:
+            rows, scores, ok = scoring.direct_topk_core(*args, **kwargs)
+        return rows, scores, ok, evaluated, rows_eval
 
-    @partial(jax.jit, static_argnames=("plan_static", "n_pad"))
-    def row_mask_program(cols, plan_params, plan_static, n_pad):
-        return predicate.row_mask(plan_static, plan_params, cols, n_pad)
-
-    return chunk_mask_stats, row_mask_program
+    return meta_query
 
 
-_chunk_mask_stats, _row_mask_program = _jit_mask_programs()
+def jnp_int32(x):
+    import jax.numpy as jnp
+
+    return jnp.int32(x)
+
+
+_meta_query_program = _jit_meta_program()
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +358,14 @@ class MetaStoreBuilder:
         if self._vectors is None:
             raise OttersError("vectors must be provided to build MetaStore")
         vectors = self._vectors
-        if not isinstance(vectors, np.ndarray):
+        import jax
+
+        from_device = isinstance(vectors, jax.Array)
+        if from_device:
+            # TPU-native ingestion: vectors already in HBM (generated or
+            # streamed on device); no host round-trip.
+            n_rows, dim = int(vectors.shape[0]), int(vectors.shape[1])
+        elif not isinstance(vectors, np.ndarray):
             vecs_list = [np.asarray(v, dtype=np.float32) for v in vectors]
             n_rows = len(vecs_list)
             dim = vecs_list[0].shape[0] if n_rows else 0
@@ -332,9 +399,10 @@ class MetaStoreBuilder:
 
         # vector ingest: host -> HBM + on-device norm computation
         ingest_start = time.perf_counter()
-        dv = scoring.materialize(vectors)
-        import jax
-
+        if from_device:
+            dv = scoring.materialize_from_device(vectors)
+        else:
+            dv = scoring.materialize(vectors)
         jax.block_until_ready(dv)
         ingest_dur = time.perf_counter() - ingest_start
 
@@ -630,7 +698,17 @@ class MetaQueryPlan:
 
     # -- execution ----------------------------------------------------------
     def collect(self) -> MetaQueryResults:
-        import jax
+        """Execute and block for results (reference meta.rs:632-829)."""
+        return self.collect_async().result()
+
+    def collect_async(self) -> "PendingMetaQuery":
+        """Dispatch the device program without blocking.
+
+        TPU-native extension over the reference API: lets callers pipeline
+        query batches (dispatch batch i+1 while batch i is in flight), which
+        hides device/host latency. ``.result()`` finalizes.
+        """
+        import jax  # noqa: F401
 
         if self._meta_error is not None:
             raise OttersError(self._meta_error)
@@ -649,26 +727,18 @@ class MetaQueryPlan:
             self._meta_filter.clauses
         ) > 0
 
-        # ---- prune phase: chunk mask over zonemaps (device) ----
+        # ---- prune plan lowering (host; device pruning is fused below) ----
         prune_start = time.perf_counter()
         if has_filter and n_chunks > 0:
             plan_static, plan_params, used = self._lower_plan()
             cols_sub = {name: store._device_cols[name] for name in used}
-            _, evaluated, rows_eval = _chunk_mask_stats(
-                cols_sub, store._chunk_lens, plan_params, plan_static
-            )
-            evaluated = int(jax.block_until_ready(evaluated))
-            rows_eval = int(rows_eval)
         else:
             plan_static, plan_params, cols_sub = (), (), {}
-            evaluated = n_chunks
-            rows_eval = store.n_rows
         prune_dur = time.perf_counter() - prune_start
 
-        # ---- score phase: row mask + MXU scoring + global top-k ----
+        # ---- score phase: dispatch ONE fused device program ----
         score_start = time.perf_counter()
-        indices: List[int] = []
-        scores: List[float] = []
+        raw = None
         if store.n_rows > 0 and k > 0 and b > 0:
             if queries.shape[1] != store._dim:
                 raise OttersError(
@@ -677,41 +747,113 @@ class MetaQueryPlan:
                 )
             dv = store._dv
             n_pad = dv.vectors.shape[0]
-            row_mask = None
-            if has_filter:
-                row_mask = _row_mask_program(
-                    cols_sub, plan_params, plan_static, n_pad
-                )
             thr, cmp = (None, None) if self._vec_filter is None else self._vec_filter
-            rows, scrs, valid = scoring.run_vec_topk(
+            k_eff = min(k, b * n_pad)
+            tile = scoring.choose_mode(n_pad, b, k_eff)
+            import jax.numpy as jnp
+
+            raw = _meta_query_program(
                 dv,
-                queries,
-                self._metric,
-                k,
+                cols_sub,
+                store._chunk_lens,
+                jnp.asarray(queries),
+                plan_params,
+                jnp.float32(0.0 if thr is None else thr),
+                plan_static=plan_static,
+                metric=self._metric,
+                k=k_eff,
                 take_min=(take_type is TakeType.Min),
-                cmp=cmp,
-                thr=thr,
-                row_mask=row_mask,
+                cmp=None if thr is None else cmp,
                 prec=store.precision,
+                tile=tile,
             )
+        return PendingMetaQuery(
+            plan=self,
+            raw=raw,
+            queries=queries,
+            k=k,
+            take_type=take_type,
+            has_filter=has_filter,
+            total_start=total_start,
+            prune_dur=prune_dur,
+            score_start=score_start,
+        )
+
+
+class PendingMetaQuery:
+    """In-flight meta query: device program dispatched, results not fetched."""
+
+    def __init__(
+        self,
+        plan: "MetaQueryPlan",
+        raw,
+        queries,
+        k,
+        take_type,
+        has_filter,
+        total_start,
+        prune_dur,
+        score_start,
+    ):
+        self._plan = plan
+        self._raw = raw
+        self._queries = queries
+        self._k = k
+        self._take_type = take_type
+        self._has_filter = has_filter
+        self._total_start = total_start
+        self._prune_dur = prune_dur
+        self._score_start = score_start
+        self._result: Optional[MetaQueryResults] = None
+        self._fetched = None
+
+    def result(self) -> MetaQueryResults:
+        if self._result is not None:
+            return self._result
+        import jax
+
+        plan = self._plan
+        store = plan._store
+        n_chunks = store.n_chunks()
+        b = self._queries.shape[0]
+
+        indices: List[int] = []
+        scores: List[float] = []
+        evaluated = n_chunks
+        rows_eval = store.n_rows
+        if self._raw is not None:
+            # one batched device->host fetch for all outputs
+            rows, scrs, valid, ev, re_ = (
+                self._fetched
+                if self._fetched is not None
+                else jax.device_get(self._raw)
+            )
+            evaluated = int(ev)
+            rows_eval = int(re_)
             indices = [int(r) for r, ok in zip(rows, valid) if ok]
             scores = [float(s) for s, ok in zip(scrs, valid) if ok]
 
             # exactness guard: verify string-predicate hits host-side; on a
             # hash collision re-run with an exact host row mask (p ~ 2^-64)
-            if has_filter and any(
+            if self._has_filter and any(
                 lf.kind == "string"
-                for cl in self._meta_filter.clauses
+                for cl in plan._meta_filter.clauses
                 for lf in cl
             ):
-                if not all(self._row_satisfies(i) for i in indices):
-                    exact_mask = self._host_exact_row_mask(n_pad)
+                if not all(plan._row_satisfies(i) for i in indices):
+                    dv = store._dv
+                    thr, cmp = (
+                        (None, None)
+                        if plan._vec_filter is None
+                        else plan._vec_filter
+                    )
+                    exact_mask = plan._host_exact_row_mask(dv.vectors.shape[0])
                     rows, scrs, valid = scoring.run_vec_topk(
                         dv,
-                        queries,
-                        self._metric,
-                        k,
-                        take_min=(take_type is TakeType.Min),
+                        self._queries,
+                        plan._metric,
+                        self._k,
+                        take_min=(self._take_type is TakeType.Min),
                         cmp=cmp,
                         thr=thr,
                         row_mask=exact_mask,
@@ -719,7 +861,7 @@ class MetaQueryPlan:
                     )
                     indices = [int(r) for r, ok in zip(rows, valid) if ok]
                     scores = [float(s) for s, ok in zip(scrs, valid) if ok]
-        score_dur = time.perf_counter() - score_start
+        score_dur = time.perf_counter() - self._score_start
 
         # ---- merge phase: result-column materialization (host) ----
         merge_start = time.perf_counter()
@@ -751,12 +893,28 @@ class MetaQueryPlan:
             pruned_chunks=n_chunks - evaluated,
             evaluated_chunks=evaluated,
             vectors_compared=rows_eval * b,
-            prune_duration=prune_dur,
+            prune_duration=self._prune_dur,
             score_duration=score_dur,
             merge_duration=merge_dur,
-            total_duration=time.perf_counter() - total_start,
+            total_duration=time.perf_counter() - self._total_start,
         )
-        return MetaQueryResults(col_names, data, indices, scores)
+        self._result = MetaQueryResults(col_names, data, indices, scores)
+        return self._result
+
+
+def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
+    """Finalize many in-flight queries with ONE device->host fetch.
+
+    Per-fetch latency dominates small-result queries on tunneled/multi-host
+    setups; batching the fetch amortizes it across the whole pipeline.
+    """
+    import jax
+
+    todo = [p for p in pendings if p._raw is not None and p._result is None]
+    fetched = jax.device_get([p._raw for p in todo])
+    for p, f in zip(todo, fetched):
+        p._fetched = tuple(f)
+    return [p.result() for p in pendings]
 
 
 def _num_cmp(v: float, t: float, cmp: CmpOp) -> bool:

@@ -79,6 +79,22 @@ def materialize(vectors_np: np.ndarray, dtype=jnp.float32) -> DeviceVecs:
     return DeviceVecs(vecs, norms_sq, inv_norms, valid)
 
 
+def materialize_from_device(vecs: jax.Array, n_valid: Optional[int] = None) -> DeviceVecs:
+    """Build a DeviceVecs from an array already resident on device.
+
+    Pads rows on device (no host roundtrip) — used by benchmarks and by
+    ingestion paths that generate or stream data device-side.
+    """
+    n, _ = vecs.shape
+    n_pad = pad_rows(n)
+    if n_pad != n:
+        vecs = jnp.pad(vecs, ((0, n_pad - n), (0, 0)))
+    n_valid = n if n_valid is None else n_valid
+    valid = jnp.arange(n_pad, dtype=jnp.int32) < n_valid
+    norms_sq, inv_norms = _device_norms(vecs)
+    return DeviceVecs(vecs, norms_sq, inv_norms, valid)
+
+
 @jax.jit
 def _device_norms(vecs):
     v32 = vecs.astype(jnp.float32)
@@ -142,6 +158,50 @@ def _query_norms(queries):
 # ---------------------------------------------------------------------------
 
 
+def direct_topk_core(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+    q_valid=None,
+):
+    """Pure traced core: [B, N] scores -> merged (rows, scores, valid).
+
+    Usable standalone (jitted below) and as the per-shard body inside
+    shard_map for the multi-device path (otters_tpu.parallel).
+    """
+    n_pad = vectors.shape[0]
+    q_sq, q_inv = _query_norms(queries)
+    scores = _score_block(
+        queries, q_inv, q_sq, vectors, inv_norms, norms_sq, metric, prec
+    )  # [B, N]
+    ok = valid[None, :]
+    if row_mask is not None:
+        ok = ok & row_mask[None, :]
+    if q_valid is not None:
+        ok = ok & q_valid[:, None]
+    ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
+
+    key = jnp.where(ok, scores, -jnp.inf if not take_min else jnp.inf)
+    if take_min:
+        key = -key
+    key_flat = key.reshape(-1)
+    top_key, top_flat = jax.lax.top_k(key_flat, k)
+    rows = (top_flat % n_pad).astype(jnp.int32)
+    out_scores = scores.reshape(-1)[top_flat]
+    out_valid = ok.reshape(-1)[top_flat]
+    return rows, out_scores, out_valid
+
+
 @partial(
     jax.jit,
     static_argnames=("metric", "k", "take_min", "cmp", "prec"),
@@ -161,25 +221,160 @@ def _direct_topk(
     cmp: Optional[Cmp],
     prec: str,
 ):
-    n_pad = vectors.shape[0]
-    q_sq, q_inv = _query_norms(queries)
-    scores = _score_block(
-        queries, q_inv, q_sq, vectors, inv_norms, norms_sq, metric, prec
-    )  # [B, N]
-    ok = valid[None, :]
-    if row_mask is not None:
-        ok = ok & row_mask[None, :]
-    ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
+    return direct_topk_core(
+        vectors,
+        norms_sq,
+        inv_norms,
+        valid,
+        queries,
+        row_mask,
+        thr,
+        metric=metric,
+        k=k,
+        take_min=take_min,
+        cmp=cmp,
+        prec=prec,
+    )
 
-    key = jnp.where(ok, scores, -jnp.inf if not take_min else jnp.inf)
-    if take_min:
-        key = -key
-    key_flat = key.reshape(-1)
-    top_key, top_flat = jax.lax.top_k(key_flat, k)
-    rows = (top_flat % n_pad).astype(jnp.int32)
-    out_scores = scores.reshape(-1)[top_flat]
-    out_valid = ok.reshape(-1)[top_flat]
-    return rows, out_scores, out_valid
+
+# ---------------------------------------------------------------------------
+# Panel path: two-level exact top-k (the TPU fast path for small k)
+# ---------------------------------------------------------------------------
+#
+# lax.top_k over a [B*N] score vector is sort-based and catastrophically slow
+# at this scale (~1s for 257M entries on v5e), while the matmul itself is
+# ~19ms. The panel path exploits k << N: reduce each 512-wide bin of the
+# masked score matrix to its max (a cheap VPU pass), take the top-k *bins*
+# (top_k over B*N/512 entries), gather only those bins' scores, and run the
+# exact top-k over the <= k*512 survivors. Every true top-k element's bin max
+# is >= the k-th best value, so the k winning bins are a superset of the
+# answer: the result is exact. Rows are processed in panels so the staged
+# score block stays ~1 GB regardless of N; panels merge through a carried
+# top-k buffer (unrolled python loop -> one fused XLA program, no scan
+# machinery).
+
+PANEL_BIN = 512
+PANEL_SCORE_BYTES = 1 << 30  # max staged panel score block
+
+
+def _panel_sizes(n_pad: int, b: int):
+    """Split n_pad rows into panels of ~PANEL_SCORE_BYTES score bytes."""
+    target = max(PANEL_BIN * 2, PANEL_SCORE_BYTES // (4 * max(b, 1)))
+    panel = min(n_pad, (target // PANEL_BIN) * PANEL_BIN)
+    sizes = []
+    off = 0
+    while off < n_pad:
+        sizes.append(min(panel, n_pad - off))
+        off += sizes[-1]
+    return sizes
+
+
+def panel_topk_core(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+    q_valid=None,
+):
+    n_pad = vectors.shape[0]
+    b = queries.shape[0]
+    q_sq, q_inv = _query_norms(queries)
+    neg = jnp.float32(-jnp.inf)
+
+    best_key = jnp.full((k,), -jnp.inf, dtype=jnp.float32)
+    best_row = jnp.zeros((k,), dtype=jnp.int32)
+    best_score = jnp.zeros((k,), dtype=jnp.float32)
+    best_valid = jnp.zeros((k,), dtype=jnp.bool_)
+
+    off = 0
+    for size in _panel_sizes(n_pad, b):
+        sl = slice(off, off + size)
+        scores = _score_block(
+            queries, q_inv, q_sq, vectors[sl], inv_norms[sl], norms_sq[sl],
+            metric, prec,
+        )  # [B, size]
+        ok = valid[sl][None, :]
+        if row_mask is not None:
+            ok = ok & row_mask[sl][None, :]
+        if q_valid is not None:
+            ok = ok & q_valid[:, None]
+        ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
+        key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
+        if take_min:
+            key = -key
+
+        n_bins = size // PANEL_BIN
+        key3 = key.reshape(b, n_bins, PANEL_BIN)
+        bin_max = key3.max(axis=2).reshape(-1)  # [b * n_bins]
+        kb = min(k, bin_max.shape[0])
+        _, top_bins = jax.lax.top_k(bin_max, kb)
+        qi = top_bins // n_bins
+        bi = top_bins % n_bins
+        cand_key = key3[qi, bi].reshape(-1)  # [kb * PANEL_BIN]
+        cand_row = (
+            off + bi[:, None] * PANEL_BIN
+            + jnp.arange(PANEL_BIN, dtype=jnp.int32)[None, :]
+        ).reshape(-1).astype(jnp.int32)
+        sc3 = scores.reshape(b, n_bins, PANEL_BIN)
+        ok3 = ok.reshape(b, n_bins, PANEL_BIN)
+        cand_score = sc3[qi, bi].reshape(-1)
+        cand_ok = ok3[qi, bi].reshape(-1)
+
+        m_key = jnp.concatenate([best_key, cand_key])
+        m_row = jnp.concatenate([best_row, cand_row])
+        m_score = jnp.concatenate([best_score, cand_score])
+        m_ok = jnp.concatenate([best_valid, cand_ok])
+        best_key, sel = jax.lax.top_k(m_key, k)
+        best_row = m_row[sel]
+        best_score = m_score[sel]
+        best_valid = m_ok[sel]
+        off += size
+
+    return best_row, best_score, best_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "take_min", "cmp", "prec"),
+)
+def _panel_topk(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+):
+    return panel_topk_core(
+        vectors,
+        norms_sq,
+        inv_norms,
+        valid,
+        queries,
+        row_mask,
+        thr,
+        metric=metric,
+        k=k,
+        take_min=take_min,
+        cmp=cmp,
+        prec=prec,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -187,11 +382,7 @@ def _direct_topk(
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=("metric", "k", "take_min", "cmp", "prec", "tile"),
-)
-def _scan_topk(
+def scan_topk_core(
     vectors,
     norms_sq,
     inv_norms,
@@ -206,6 +397,7 @@ def _scan_topk(
     cmp: Optional[Cmp],
     prec: str,
     tile: int,
+    q_valid=None,
 ):
     n_pad, d = vectors.shape
     b = queries.shape[0]
@@ -231,6 +423,8 @@ def _scan_topk(
         ok = vld[None, :]
         if rm is not None:
             ok = ok & rm[None, :]
+        if q_valid is not None:
+            ok = ok & q_valid[:, None]
         ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
         key = jnp.where(ok, scores, -jnp.inf if not take_min else jnp.inf)
         if take_min:
@@ -279,9 +473,70 @@ def _scan_topk(
     return best_row, best_score, best_valid
 
 
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "take_min", "cmp", "prec", "tile"),
+)
+def _scan_topk(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+    tile: int,
+):
+    return scan_topk_core(
+        vectors,
+        norms_sq,
+        inv_norms,
+        valid,
+        queries,
+        row_mask,
+        thr,
+        metric=metric,
+        k=k,
+        take_min=take_min,
+        cmp=cmp,
+        prec=prec,
+        tile=tile,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dispatcher
 # ---------------------------------------------------------------------------
+
+PANEL_K_MAX = 1024
+SCAN_K_MAX = DIRECT_LIMIT // 4
+
+
+def choose_mode(n_pad: int, b: int, k_eff: int) -> str:
+    """Pick the scoring strategy: 'direct' | 'panel' | 'scan'.
+
+    direct: small candidate count -> one sort-based top_k is fine.
+    panel : large N, small k      -> two-level bin-max exact top-k (fast path).
+    scan  : large N, large k      -> streaming tiles with threshold early-out.
+    """
+    if b * n_pad <= DIRECT_LIMIT:
+        return "direct"
+    if k_eff <= PANEL_K_MAX and n_pad % PANEL_BIN == 0:
+        return "panel"
+    if n_pad % SCAN_TILE == 0 and k_eff <= SCAN_K_MAX:
+        return "scan"
+    if b * n_pad * 4 <= 2 << 30:
+        return "direct"
+    raise OttersError(
+        f"take({k_eff}) over {b} queries x {n_pad} rows is too large for "
+        "device memory; use an explicit smaller take(k)"
+    )
 
 
 def run_vec_topk(
@@ -307,47 +562,15 @@ def run_vec_topk(
     cmp_eff = None if thr is None else cmp
     rm = None if row_mask is None else jnp.asarray(row_mask)
 
-    use_direct = b * n_pad <= DIRECT_LIMIT or n_pad % SCAN_TILE != 0
-    if not use_direct and k_eff > DIRECT_LIMIT // 4:
-        # Huge k over a huge store: fall back to direct only if the score
-        # matrix fits in HBM comfortably, else refuse with guidance.
-        if b * n_pad * 4 <= 2 << 30:
-            use_direct = True
-        else:
-            raise OttersError(
-                f"take({k}) over {b} queries x {n_pad} rows is too large for "
-                "device memory; use an explicit smaller take(k)"
-            )
-
-    if use_direct:
-        rows, scores, valid = _direct_topk(
-            dv.vectors,
-            dv.norms_sq,
-            dv.inv_norms,
-            dv.valid,
-            q,
-            rm,
-            thr_arr,
-            metric=metric,
-            k=k_eff,
-            take_min=take_min,
-            cmp=cmp_eff,
-            prec=prec,
-        )
+    mode = choose_mode(n_pad, b, k_eff)
+    args = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm, thr_arr)
+    kwargs = dict(metric=metric, k=k_eff, take_min=take_min, cmp=cmp_eff, prec=prec)
+    if mode == "direct":
+        rows, scores, valid = _direct_topk(*args, **kwargs)
+    elif mode == "panel":
+        rows, scores, valid = _panel_topk(*args, **kwargs)
     else:
-        rows, scores, valid = _scan_topk(
-            dv.vectors,
-            dv.norms_sq,
-            dv.inv_norms,
-            dv.valid,
-            q,
-            rm,
-            thr_arr,
-            metric=metric,
-            k=k_eff,
-            take_min=take_min,
-            cmp=cmp_eff,
-            prec=prec,
-            tile=SCAN_TILE,
-        )
-    return np.asarray(rows), np.asarray(scores), np.asarray(valid)
+        rows, scores, valid = _scan_topk(*args, tile=SCAN_TILE, **kwargs)
+    # one batched device->host fetch (roundtrips are expensive on tunneled
+    # or multi-host setups; never fetch outputs one by one)
+    return jax.device_get((rows, scores, valid))
