@@ -209,7 +209,9 @@ def _build_device_column(
         else:
             params = bloom_ops.BloomParams.from_bits(val, chunk_size)
         chunk_ids = np.arange(n, dtype=np.int64) // chunk_size
-        matrix = bloom_ops.build_matrix(g1, g2, nulls, chunk_ids, n_chunks, params)
+        matrix = bloom_ops.build_matrix(
+            g1, g2, nulls, chunk_ids, n_chunks, params, chunk_size=chunk_size
+        )
         dev["bloom"] = jnp.asarray(matrix)
         aux = params
         rep = "str"

@@ -1,0 +1,72 @@
+// Native ingest kernels for otters-tpu.
+//
+// The reference's build-side hot loops are Rust: per-chunk Bloom insertion
+// over string bytes (meta_compute.rs:99-116) via fastbloom's hasher. Here the
+// equivalents are C++ invoked through ctypes:
+//   - bulk stable string hashing (FNV-1a 64 + splitmix64 finalizers, bit-for-
+//     bit identical to the Python fallback in ops/hashing.py),
+//   - Bloom bit-matrix construction with double hashing (ops/bloom.py
+//     contract: h_i = g1 + i * g2 mod bits).
+// Rows are chunk-contiguous, so the per-chunk OpenMP parallelism is
+// write-conflict-free (each thread owns whole chunks).
+
+#include <cstdint>
+#include <cstddef>
+
+namespace {
+
+constexpr uint64_t FNV_OFFSET = 0xCBF29CE484222325ULL;
+constexpr uint64_t FNV_PRIME = 0x100000001B3ULL;
+
+inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9E3779B97F4A7C15ULL;
+  x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+  return x ^ (x >> 31);
+}
+
+inline uint64_t fnv1a64(const uint8_t* data, int64_t len) {
+  uint64_t h = FNV_OFFSET;
+  for (int64_t i = 0; i < len; ++i) {
+    h = (h ^ data[i]) * FNV_PRIME;
+  }
+  return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// offsets has n+1 entries; string i is data[offsets[i]..offsets[i+1]).
+void otters_hash_strings(const uint8_t* data, const int64_t* offsets,
+                         int64_t n, uint64_t* g1, uint64_t* g2) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t x = fnv1a64(data + offsets[i], offsets[i + 1] - offsets[i]);
+    g1[i] = splitmix64(x);
+    g2[i] = splitmix64(x ^ 0xA5A5A5A5A5A5A5A5ULL) | 1ULL;
+  }
+}
+
+// matrix: uint32[n_chunks * words], zero-initialized by the caller.
+// chunk_start: int64[n_chunks + 1] row ranges (rows are chunk-contiguous).
+void otters_bloom_build(const uint64_t* g1, const uint64_t* g2,
+                        const uint8_t* nulls, const int64_t* chunk_start,
+                        int64_t n_chunks, int64_t words, int64_t bits,
+                        int64_t k, uint32_t* matrix) {
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    uint32_t* row = matrix + c * words;
+    for (int64_t i = chunk_start[c]; i < chunk_start[c + 1]; ++i) {
+      if (nulls[i]) continue;
+      uint64_t h1 = g1[i];
+      uint64_t h2 = g2[i];
+      for (int64_t j = 0; j < k; ++j) {
+        uint64_t pos = (h1 + static_cast<uint64_t>(j) * h2) % bits;
+        row[pos >> 5] |= (1u << (pos & 31));
+      }
+    }
+  }
+}
+
+}  // extern "C"

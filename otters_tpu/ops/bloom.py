@@ -61,8 +61,19 @@ def build_matrix(
     chunk_ids: np.ndarray,
     n_chunks: int,
     params: BloomParams,
+    chunk_size: int = 0,
 ) -> np.ndarray:
     """uint32[n_chunks, words] bloom bit matrix from per-row string hashes."""
+    if chunk_size > 0 and len(g1) > 4096:
+        # rows are chunk-contiguous -> native parallel build
+        from .. import native
+
+        m = native.bloom_build(
+            g1, g2, null_mask, chunk_size, len(g1), n_chunks,
+            params.words, params.bits, params.k_hashes,
+        )
+        if m is not None:
+            return m
     matrix = np.zeros(n_chunks * params.words, dtype=np.uint32)
     keep = ~np.asarray(null_mask, dtype=bool)
     g1 = g1[keep]

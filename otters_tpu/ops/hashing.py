@@ -48,26 +48,13 @@ def hash_string(s: str) -> Tuple[int, int]:
     return g1, g2 | 1
 
 
-_native = None
-
-
-def _load_native():
-    global _native
-    if _native is None:
-        try:
-            from .. import _native as native_mod  # C++ accelerated hashing
-
-            _native = native_mod
-        except ImportError:
-            _native = False
-    return _native
-
-
 def hash_strings(strings: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized hashing -> (g1 uint64 [n], g2 uint64 [n])."""
-    native = _load_native()
-    if native:
-        return native.hash_strings(strings)
+    from .. import native
+
+    result = native.hash_strings(strings) if len(strings) > 64 else None
+    if result is not None:
+        return result
     n = len(strings)
     g1 = np.empty(n, dtype=np.uint64)
     g2 = np.empty(n, dtype=np.uint64)

@@ -1,0 +1,264 @@
+"""Pallas fused scoring kernel with pruned-tile skipping.
+
+The reference prunes chunks on the host and simply never scores them
+(meta.rs:648-691). The XLA dense path can't skip work — masked rows still
+burn MXU cycles and HBM bandwidth. This kernel restores true pruning on TPU:
+
+- The chunk mask is turned into a **survivor tile list** on device
+  (stable argsort of tile-alive flags). It is fed to the kernel as a
+  scalar-prefetch operand, and the vector tile's BlockSpec ``index_map``
+  reads it: grid step ``g`` DMAs tile ``surv[min(g, S-1)]``. Steps past the
+  survivor count keep mapping to the same block, and Pallas's pipeline
+  skips re-fetching an unchanged block — so pruned tiles cost **neither
+  HBM traffic nor MXU work** (`pl.when` skips the matmul).
+- Each live step computes the `[B, T]` masked score block on the MXU and
+  reduces it to per-512-bin maxima (phase 1 of the two-level exact top-k;
+  see ops/scoring.py panel path). Bin winners are re-scored in a tiny XLA
+  phase 2, so the full score matrix never exists in HBM.
+
+Exactness: bin maxima are computed from the same masked scores phase 2
+recomputes; the k winning bins are a superset of the true top-k (every true
+top-k element's bin max is >= the k-th best value).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import Cmp, Metric
+from .scoring import _filter_ok, _precision, _query_norms
+
+BIN = 512
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def choose_tile(d: int, n_pad: int = 0) -> int:
+    """Row-tile size: keep the [T, D] f32 block around 3 MB of VMEM,
+    and never larger than the store itself."""
+    t = (3 * (1 << 20)) // (4 * d)
+    t = max(BIN, (t // BIN) * BIN)
+    if n_pad:
+        while t > BIN and n_pad % t != 0:
+            t -= BIN
+    return t
+
+
+def _kernel(
+    surv_ref,
+    ns_ref,
+    thr_ref,
+    q_ref,
+    v_ref,
+    aux_ref,
+    qaux_ref,
+    out_ref,
+    *,
+    metric: Metric,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+    nb: int,
+):
+    g = pl.program_id(0)
+    real = g < ns_ref[0]
+
+    @pl.when(real)
+    def _():
+        q = q_ref[:]  # [B_pad, D]
+        v = v_ref[:]  # [T, D]
+        dots = jax.lax.dot_general(
+            q,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(prec),
+        )  # [B_pad, T]
+        inv = aux_ref[0, :][None, :]
+        nsq = aux_ref[1, :][None, :]
+        rmask = aux_ref[2, :][None, :]
+        q_inv = qaux_ref[0, :][:, None]
+        q_sq = qaux_ref[1, :][:, None]
+        q_ok = qaux_ref[2, :][:, None]
+
+        if metric is Metric.Cosine:
+            scores = dots * q_inv * inv
+        elif metric is Metric.Euclidean:
+            scores = q_sq + nsq - 2.0 * dots
+        else:
+            scores = dots
+
+        ok = (rmask > 0.0) & (q_ok > 0.0) & ~jnp.isnan(scores)
+        if cmp is not None:
+            ok = ok & _filter_ok(scores, thr_ref[0], cmp)
+        key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
+        if take_min:
+            key = -key
+        for j in range(nb):
+            out_ref[0, j, :] = jnp.max(key[:, j * BIN : (j + 1) * BIN], axis=1)
+
+    @pl.when(jnp.logical_not(real))
+    def _():
+        out_ref[0] = jnp.full_like(out_ref[0], -jnp.inf)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("metric", "k", "take_min", "cmp", "prec", "interpret"),
+)
+def pallas_topk(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    tile_alive,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str = "highest",
+    interpret: bool = False,
+):
+    """Fused pruned scoring + exact top-k.
+
+    tile_alive: [n_tiles] bool — False tiles are skipped entirely (no DMA,
+    no MXU). Soundness requires that every row of a dead tile fails
+    ``row_mask`` (zonemap pruning guarantees this; see ops/predicate.py).
+    """
+    n_pad, d = vectors.shape
+    b = queries.shape[0]
+    t = choose_tile(d, n_pad)
+    assert n_pad % t == 0, (n_pad, t)
+    n_tiles = n_pad // t
+    nb = t // BIN
+    b_pad = _round_up(b, LANE)
+
+    q_sq, q_inv = _query_norms(queries)
+    q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
+    qaux = jnp.zeros((4, b_pad), jnp.float32)
+    qaux = qaux.at[0, :b].set(q_inv).at[1, :b].set(q_sq)
+    qaux = qaux.at[2, :b].set(1.0)
+
+    rmask01 = valid.astype(jnp.float32)
+    if row_mask is not None:
+        rmask01 = rmask01 * row_mask.astype(jnp.float32)
+    aux = jnp.zeros((4, n_pad), jnp.float32)
+    aux = aux.at[0].set(inv_norms).at[1].set(norms_sq).at[2].set(rmask01)
+
+    # survivor tile list (stable: alive tiles first, original order)
+    order = jnp.argsort(~tile_alive, stable=True).astype(jnp.int32)
+    n_surv = tile_alive.sum(dtype=jnp.int32)
+    pos = jnp.minimum(
+        jnp.arange(n_tiles, dtype=jnp.int32), jnp.maximum(n_surv - 1, 0)
+    )
+    surv = order[pos]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d), lambda g, s, n, th: (0, 0)),
+            pl.BlockSpec((t, d), lambda g, s, n, th: (s[g], 0)),
+            pl.BlockSpec((4, t), lambda g, s, n, th: (0, s[g])),
+            pl.BlockSpec((4, b_pad), lambda g, s, n, th: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nb, b_pad), lambda g, s, n, th: (g, 0, 0)),
+    )
+    bins = pl.pallas_call(
+        partial(
+            _kernel, metric=metric, take_min=take_min, cmp=cmp, prec=prec, nb=nb
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, b_pad), jnp.float32),
+        interpret=interpret,
+    )(
+        surv,
+        n_surv.reshape(1),
+        thr.reshape(1),
+        q_pad,
+        vectors,
+        aux,
+        qaux,
+    )
+
+    # ---- phase 2 (XLA): winner-bin gather + exact rescore ----
+    flat = bins.reshape(-1)  # [n_tiles * nb * b_pad], slot -> (g, j, q)
+    kb = min(k, flat.shape[0])
+    _, top_slots = jax.lax.top_k(flat, kb)
+    gsel = top_slots // (nb * b_pad)
+    jsel = (top_slots // b_pad) % nb
+    qsel = top_slots % b_pad
+    tile_sel = surv[gsel]  # slot -> actual tile index
+
+    rows = (
+        tile_sel[:, None] * t
+        + jsel[:, None] * BIN
+        + jnp.arange(BIN, dtype=jnp.int32)[None, :]
+    )  # [kb, BIN]
+    rows_flat = rows.reshape(-1)
+    v_cand = vectors[rows_flat]  # [kb*BIN, d]
+    q_cand = q_pad[qsel]  # [kb, d]
+    dots = jax.lax.dot_general(
+        q_cand[:, None, :],
+        v_cand.reshape(kb, BIN, d),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=_precision(prec),
+    ).reshape(kb, BIN)
+    if metric is Metric.Cosine:
+        scores = dots * q_inv_pad(q_inv, b_pad)[qsel][:, None] * inv_norms[rows]
+    elif metric is Metric.Euclidean:
+        scores = (
+            q_sq_pad(q_sq, b_pad)[qsel][:, None] + norms_sq[rows] - 2.0 * dots
+        )
+    else:
+        scores = dots
+
+    ok = valid[rows]
+    if row_mask is not None:
+        ok = ok & row_mask[rows]
+    ok = ok & (qsel[:, None] < b) & ~jnp.isnan(scores)
+    if cmp is not None:
+        ok = ok & _filter_ok(scores, thr, cmp)
+    key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
+    if take_min:
+        key = -key
+    key_flat = key.reshape(-1)
+    _, sel = jax.lax.top_k(key_flat, min(k, key_flat.shape[0]))
+    out_rows = rows_flat[sel].astype(jnp.int32)
+    out_scores = scores.reshape(-1)[sel]
+    out_ok = ok.reshape(-1)[sel]
+    return out_rows, out_scores, out_ok
+
+
+def q_inv_pad(q_inv, b_pad):
+    return jnp.zeros((b_pad,), jnp.float32).at[: q_inv.shape[0]].set(q_inv)
+
+
+def q_sq_pad(q_sq, b_pad):
+    return jnp.zeros((b_pad,), jnp.float32).at[: q_sq.shape[0]].set(q_sq)
+
+
+def tiles_alive_from_chunk_mask(chunk_mask, chunk_size: int, n_pad: int, tile: int):
+    """[n_chunks] chunk mask -> [n_tiles] tile-alive flags (OR of overlaps)."""
+    n_chunks = chunk_mask.shape[0]
+    row_alive = jnp.repeat(chunk_mask, chunk_size, total_repeat_length=n_chunks * chunk_size)
+    if n_chunks * chunk_size < n_pad:
+        row_alive = jnp.pad(row_alive, (0, n_pad - n_chunks * chunk_size))
+    else:
+        row_alive = row_alive[:n_pad]
+    return row_alive.reshape(n_pad // tile, tile).any(axis=1)

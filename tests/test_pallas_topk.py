@@ -1,0 +1,142 @@
+"""Pallas fused kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from otters_tpu.ops import pallas_topk as pk
+from otters_tpu.ops import scoring
+from otters_tpu.types import Cmp, Metric
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(11)
+    n, d, b = 16384, 128, 3  # -> 4 tiles of 4096 rows
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    dv = scoring.materialize(vectors)
+    return vectors, queries, dv
+
+
+def _oracle(vectors, queries, metric, k, take_min, row_mask=None, thr=None, cmp=None):
+    if metric is Metric.DotProduct:
+        s = queries @ vectors.T
+    elif metric is Metric.Cosine:
+        qi = 1.0 / np.linalg.norm(queries, axis=1)
+        vi = 1.0 / np.linalg.norm(vectors, axis=1)
+        s = (queries @ vectors.T) * qi[:, None] * vi[None, :]
+    else:
+        q_sq = (queries**2).sum(1)[:, None]
+        v_sq = (vectors**2).sum(1)[None, :]
+        s = q_sq + v_sq - 2 * queries @ vectors.T
+    ok = np.ones_like(s, dtype=bool)
+    if row_mask is not None:
+        ok &= row_mask[None, : s.shape[1]]
+    if thr is not None:
+        ok &= {
+            Cmp.Gt: s > thr,
+            Cmp.Lt: s < thr,
+            Cmp.Gte: s >= thr,
+            Cmp.Lte: s <= thr,
+            Cmp.Eq: s == thr,
+        }[cmp]
+    vals = s[ok]
+    return np.sort(vals)[:k] if take_min else np.sort(vals)[::-1][:k]
+
+
+def _run_pallas(dv, queries, tile_alive, row_mask=None, thr=None, cmp=None,
+                metric=Metric.DotProduct, k=12, take_min=False):
+    rows, scores, ok = pk.pallas_topk(
+        dv.vectors,
+        dv.norms_sq,
+        dv.inv_norms,
+        dv.valid,
+        jnp.asarray(queries),
+        None if row_mask is None else jnp.asarray(row_mask),
+        jnp.float32(0.0 if thr is None else thr),
+        tile_alive,
+        metric=metric,
+        k=k,
+        take_min=take_min,
+        cmp=cmp if thr is not None else None,
+        interpret=True,
+    )
+    return np.asarray(rows), np.asarray(scores), np.asarray(ok)
+
+
+def test_pallas_matches_oracle_dot(data):
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad)
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    rows, scores, ok = _run_pallas(dv, queries, alive)
+    want = _oracle(vectors, queries, Metric.DotProduct, 12, False)
+    assert ok.all()
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("metric,take_min", [
+    (Metric.Cosine, False),
+    (Metric.Euclidean, True),
+])
+def test_pallas_matches_oracle_metrics(data, metric, take_min):
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad)
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    rows, scores, ok = _run_pallas(
+        dv, queries, alive, metric=metric, take_min=take_min
+    )
+    want = _oracle(vectors, queries, metric, 12, take_min)
+    np.testing.assert_allclose(scores[ok], want[: ok.sum()], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_skips_dead_tiles_exactly(data):
+    """Dead tiles' rows must never appear even if they'd score highest."""
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    d = vectors.shape[1]
+    t = pk.choose_tile(d, n_pad)
+    n_tiles = n_pad // t
+    # rows 0..t-1 dead (tile 0), row_mask excludes them too (soundness contract)
+    alive = jnp.asarray(np.arange(n_tiles) != 0)
+    row_mask = np.ones(n_pad, dtype=bool)
+    row_mask[:t] = False
+    rows, scores, ok = _run_pallas(dv, queries, alive, row_mask=row_mask, k=20)
+    assert ok.all()
+    assert all(r >= t for r in rows)
+    want = _oracle(vectors, queries, Metric.DotProduct, 20, False,
+                   row_mask=row_mask[: len(vectors)])
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_filter_and_mask(data):
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad)
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    row_mask = np.zeros(n_pad, dtype=bool)
+    row_mask[::3] = True
+    rows, scores, ok = _run_pallas(
+        dv, queries, alive, row_mask=row_mask, thr=2.0, cmp=Cmp.Gt, k=15
+    )
+    want = _oracle(
+        vectors, queries, Metric.DotProduct, 15, False,
+        row_mask=row_mask[: len(vectors)], thr=2.0, cmp=Cmp.Gt,
+    )
+    got = scores[ok]
+    np.testing.assert_allclose(got, want[: len(got)], rtol=1e-5, atol=1e-5)
+    assert all(r % 3 == 0 for r in rows[ok])
+
+
+def test_tiles_alive_from_chunk_mask():
+    cm = jnp.asarray(np.array([True, False, False, True]))
+    alive = pk.tiles_alive_from_chunk_mask(cm, 256, 1024, 512)
+    np.testing.assert_array_equal(np.asarray(alive), [True, True])
+    alive2 = pk.tiles_alive_from_chunk_mask(cm, 128, 512, 512)
+    np.testing.assert_array_equal(np.asarray(alive2), [True])
+    cm3 = jnp.asarray(np.array([False, False]))
+    alive3 = pk.tiles_alive_from_chunk_mask(cm3, 512, 1024, 512)
+    np.testing.assert_array_equal(np.asarray(alive3), [False, False])
