@@ -29,7 +29,7 @@ D = 768
 B = 256  # queries per batch
 K = 10
 CHUNK = 1024
-TIMED_BATCHES = 8
+TIMED_BATCHES = 16
 CPU_SUB_N = 200_000
 CPU_SUB_B = 32
 
@@ -84,7 +84,7 @@ def run_tpu(store) -> float:
     def dispatch():
         q = rng.normal(size=(B, D)).astype(np.float32)
         return (
-            store.query_batch(list(q), Metric.Cosine)
+            store.query_batch(q, Metric.Cosine)
             .meta_filter(col("price").lt(50.0) & col("version").gte(2))
             .vec_filter(-1.0, Cmp.Gt)
             .take(K)

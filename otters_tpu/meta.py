@@ -238,6 +238,7 @@ def _jit_meta_program():
             "cmp",
             "prec",
             "tile",
+            "chunk_size",
         ),
     )
     def meta_query(
@@ -255,6 +256,7 @@ def _jit_meta_program():
         cmp,
         prec,
         tile,
+        chunk_size=0,
     ):
         """The whole meta query as ONE device program (single dispatch):
 
@@ -285,7 +287,31 @@ def _jit_meta_program():
             thr,
         )
         kwargs = dict(metric=metric, k=k, take_min=take_min, cmp=cmp, prec=prec)
-        if tile == "panel":
+        if tile == "pallas":
+            # fused Pallas kernel: pruned chunks cost neither HBM nor MXU
+            from .ops import pallas_topk as pk
+
+            t_rows = pk.choose_tile(dv.vectors.shape[1], n_pad)
+            if plan_static:
+                alive = pk.tiles_alive_from_chunk_mask(
+                    cmask, chunk_size, n_pad, t_rows
+                )
+            else:
+                import jax.numpy as jnp
+
+                alive = jnp.ones(n_pad // t_rows, dtype=jnp.bool_)
+            rows, scores, ok = pk.pallas_topk(
+                dv.vectors,
+                dv.norms_sq,
+                dv.inv_norms,
+                dv.valid,
+                queries,
+                rmask,
+                thr,
+                alive,
+                **kwargs,
+            )
+        elif tile == "panel":
             rows, scores, ok = scoring.panel_topk_core(*args, **kwargs)
         elif tile == "scan":
             rows, scores, ok = scoring.scan_topk_core(
@@ -543,11 +569,50 @@ class MetaStore:
         self.print_build_stats()
         self.print_last_query_stats()
 
+    # -- device program hook (overridden by ShardedMetaStore) ----------------
+    def _run_query_program(
+        self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
+        take_min, cmp,
+    ):
+        import jax.numpy as jnp
+
+        dv = self._dv
+        n_pad = dv.vectors.shape[0]
+        b = queries.shape[0]
+        k_eff = min(k, b * n_pad)
+        tile = scoring.choose_mode(n_pad, b, k_eff)
+        if tile == "panel":
+            from .ops import pallas_topk as pk
+
+            if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):
+                tile = "pallas"
+        return _meta_query_program(
+            dv,
+            cols_sub,
+            self._chunk_lens,
+            jnp.asarray(queries),
+            plan_params,
+            jnp.float32(thr),
+            plan_static=plan_static,
+            metric=metric,
+            k=k_eff,
+            take_min=take_min,
+            cmp=cmp,
+            prec=self.precision,
+            tile=tile,
+            chunk_size=self._chunk_size,
+        )
+
     # -- query ---------------------------------------------------------------
     def query(self, query, metric: Metric) -> "MetaQueryPlan":
         return MetaQueryPlan(self, [np.asarray(query, dtype=np.float32)], metric)
 
     def query_batch(self, queries, metric: Metric) -> "MetaQueryPlan":
+        import jax
+
+        if isinstance(queries, (np.ndarray, jax.Array)) and queries.ndim == 2:
+            # zero-copy fast path; jax.Array queries never leave the device
+            return MetaQueryPlan(self, queries, metric)
         qs = [np.asarray(q, dtype=np.float32) for q in queries]
         return MetaQueryPlan(self, qs, metric)
 
@@ -718,11 +783,14 @@ class MetaQueryPlan:
         total_start = time.perf_counter()
         k = self._take_count if self._take_count is not None else store.n_rows
         take_type = self._take_type or default_take_type(self._metric)
-        queries = (
-            np.stack(self._queries, axis=0)
-            if self._queries
-            else np.zeros((0, store._dim), np.float32)
-        )
+        if isinstance(self._queries, list):
+            queries = (
+                np.stack(self._queries, axis=0)
+                if self._queries
+                else np.zeros((0, store._dim), np.float32)
+            )
+        else:
+            queries = self._queries  # 2D ndarray / device array fast path
         b = queries.shape[0]
         n_chunks = store.n_chunks()
         has_filter = self._meta_filter is not None and len(
@@ -747,27 +815,17 @@ class MetaQueryPlan:
                     f"Query vector length {queries.shape[1]} does not match "
                     f"expected dimension {store._dim}"
                 )
-            dv = store._dv
-            n_pad = dv.vectors.shape[0]
             thr, cmp = (None, None) if self._vec_filter is None else self._vec_filter
-            k_eff = min(k, b * n_pad)
-            tile = scoring.choose_mode(n_pad, b, k_eff)
-            import jax.numpy as jnp
-
-            raw = _meta_query_program(
-                dv,
+            raw = store._run_query_program(
                 cols_sub,
-                store._chunk_lens,
-                jnp.asarray(queries),
+                queries,
                 plan_params,
-                jnp.float32(0.0 if thr is None else thr),
-                plan_static=plan_static,
-                metric=self._metric,
-                k=k_eff,
-                take_min=(take_type is TakeType.Min),
-                cmp=None if thr is None else cmp,
-                prec=store.precision,
-                tile=tile,
+                0.0 if thr is None else thr,
+                plan_static,
+                self._metric,
+                k,
+                (take_type is TakeType.Min),
+                None if thr is None else cmp,
             )
         return PendingMetaQuery(
             plan=self,

@@ -253,6 +253,24 @@ def q_sq_pad(q_sq, b_pad):
     return jnp.zeros((b_pad,), jnp.float32).at[: q_sq.shape[0]].set(q_sq)
 
 
+def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
+    """Can the fused kernel handle this shape on the current backend?"""
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    if k > 1024 or n_pad % BIN != 0:
+        return False
+    t = choose_tile(d, n_pad)
+    if n_pad % t != 0:
+        return False
+    b_pad = _round_up(b, LANE)
+    # rough VMEM budget: queries + double-buffered vector tile + slack
+    vmem = b_pad * d * 4 + 2 * t * d * 4 + 2 * t * b_pad * 4
+    return vmem <= 13 * (1 << 20)
+
+
 def tiles_alive_from_chunk_mask(chunk_mask, chunk_size: int, n_pad: int, tile: int):
     """[n_chunks] chunk mask -> [n_tiles] tile-alive flags (OR of overlaps)."""
     n_chunks = chunk_mask.shape[0]

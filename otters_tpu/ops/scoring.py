@@ -565,6 +565,18 @@ def run_vec_topk(
     mode = choose_mode(n_pad, b, k_eff)
     args = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm, thr_arr)
     kwargs = dict(metric=metric, k=k_eff, take_min=take_min, cmp=cmp_eff, prec=prec)
+    if mode == "panel":
+        # upgrade to the fused Pallas kernel on TPU (skips nothing here but
+        # never materializes the score matrix)
+        from . import pallas_topk as pk
+
+        if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):
+            t = pk.choose_tile(dv.vectors.shape[1], n_pad)
+            alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
+            rows, scores, valid = pk.pallas_topk(
+                *args[:5], rm, thr_arr, alive, **kwargs
+            )
+            return jax.device_get((rows, scores, valid))
     if mode == "direct":
         rows, scores, valid = _direct_topk(*args, **kwargs)
     elif mode == "panel":

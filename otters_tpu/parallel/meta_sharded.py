@@ -1,0 +1,277 @@
+"""ShardedMetaStore: the full metadata-filtered search over a device mesh.
+
+BASELINE config 5 (SURVEY.md §6): rows/chunks of the store — vectors, column
+arrays, null masks, zonemaps and Bloom bit-matrices — are sharded along the
+mesh 'rows' axis; the query batch along 'batch'. One SPMD program per query:
+
+    local zonemap chunk-mask  ->  local row-mask  ->  local exact top-k
+    -> all-gather k-sized partials over ICI -> replicated merge
+    -> psum of pruning stats
+
+Each device prunes and scores only its own shard (the multi-chip analog of
+the reference's rayon chunk fork-join, meta.rs:678-691); the only cross-chip
+traffic is O(devices * k) score/index pairs plus two scalar psums.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..errors import OttersError
+from ..meta import MetaQueryPlan, MetaStore, MetaStoreBuilder
+from ..ops import predicate, scoring
+from ..types import Metric
+
+
+def _jit_sharded_program():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "mesh",
+            "plan_static",
+            "metric",
+            "k",
+            "take_min",
+            "cmp",
+            "prec",
+        ),
+    )
+    def sharded_meta_query(
+        dv,
+        cols,
+        chunk_lens,
+        queries,
+        q_valid,
+        plan_params,
+        thr,
+        *,
+        mesh,
+        plan_static,
+        metric,
+        k,
+        take_min,
+        cmp,
+        prec,
+    ):
+        def local_fn(dv_l, cols_l, clens_l, q_l, qv_l, params_l, thr_l):
+            n_local = dv_l.vectors.shape[0]
+            n_chunks_l = clens_l.shape[0]
+            if plan_static:
+                cmask = predicate.chunk_mask(
+                    plan_static, params_l, cols_l, n_chunks_l
+                )
+                ev = cmask.sum(dtype=np.int32)
+                re_ = (clens_l * cmask).sum(dtype=np.int32)
+                rmask = predicate.row_mask(
+                    plan_static, params_l, cols_l, n_local
+                )
+            else:
+                # padded chunks have len 0; count only real ones
+                ev = (clens_l > 0).sum(dtype=np.int32)
+                re_ = clens_l.sum(dtype=np.int32)
+                rmask = None
+
+            b_local = q_l.shape[0]
+            k_local = min(k, b_local * n_local)
+            kwargs = dict(
+                metric=metric,
+                k=k_local,
+                take_min=take_min,
+                cmp=cmp,
+                prec=prec,
+                q_valid=qv_l,
+            )
+            args = (
+                dv_l.vectors,
+                dv_l.norms_sq,
+                dv_l.inv_norms,
+                dv_l.valid,
+                q_l,
+                rmask,
+                thr_l,
+            )
+            if b_local * n_local <= scoring.DIRECT_LIMIT or (
+                n_local % scoring.PANEL_BIN != 0
+            ):
+                rows, scores, ok = scoring.direct_topk_core(*args, **kwargs)
+            else:
+                rows, scores, ok = scoring.panel_topk_core(*args, **kwargs)
+            rows = rows + jax.lax.axis_index("rows") * n_local
+
+            axes = ("rows", "batch")
+            rows_g = jax.lax.all_gather(rows, axes).reshape(-1)
+            scores_g = jax.lax.all_gather(scores, axes).reshape(-1)
+            ok_g = jax.lax.all_gather(ok, axes).reshape(-1)
+            key = jnp.where(
+                ok_g, scores_g, -jnp.inf if not take_min else jnp.inf
+            )
+            if take_min:
+                key = -key
+            _, sel = jax.lax.top_k(key, min(k, key.shape[0]))
+
+            ev_g = jax.lax.psum(ev, "rows")
+            re_g = jax.lax.psum(re_, "rows")
+            return rows_g[sel], scores_g[sel], ok_g[sel], ev_g, re_g
+
+        col_specs = {
+            name: {
+                key: P("rows", None) if key == "bloom" else P("rows")
+                for key in colarrs
+            }
+            for name, colarrs in cols.items()
+        }
+        dv_specs = scoring.DeviceVecs(
+            P("rows", None), P("rows"), P("rows"), P("rows")
+        )
+        fn = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                dv_specs,
+                col_specs,
+                P("rows"),
+                P("batch", None),
+                P("batch"),
+                P(),  # thresholds replicated (prefix spec for the pytree)
+                P(),
+            ),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return fn(dv, cols, chunk_lens, queries, q_valid, plan_params, thr)
+
+    return sharded_meta_query
+
+
+_sharded_meta_query = _jit_sharded_program()
+
+
+class ShardedMetaStore(MetaStore):
+    """A MetaStore whose rows, zonemaps and Bloom bits live across a mesh.
+
+    Construct via ``MetaStoreBuilder.build_sharded(mesh)`` or
+    ``ShardedMetaStore.shard(store, mesh)``. The query API is identical to
+    MetaStore (query/query_batch -> meta_filter/vec_filter/take -> collect).
+    """
+
+    def __init__(self, schema):
+        super().__init__(schema)
+        self.mesh = None
+
+    @staticmethod
+    def shard(store: MetaStore, mesh) -> "ShardedMetaStore":
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shards = mesh.shape["rows"]
+        out = ShardedMetaStore(store.schema())
+        out.mesh = mesh
+        out._columns = store._columns
+        out._chunk_size = store._chunk_size
+        out._n_rows = store._n_rows
+        out._dim = store._dim
+        out._bloom_params = store._bloom_params
+        out._col_reprs = store._col_reprs
+        out._build_stats = store._build_stats
+        out.precision = store.precision
+
+        # re-pad rows and chunks so both axes split evenly across shards
+        dv = store._dv
+        n_pad = dv.vectors.shape[0]
+        unit = scoring.SCAN_TILE * n_shards
+        n_pad_s = max(unit, -(-n_pad // unit) * unit)
+        n_chunks = store.n_chunks()
+        n_chunks_s = max(n_shards, -(-n_chunks // n_shards) * n_shards)
+        out._n_chunks = n_chunks
+
+        def put_rows(arr, fill):
+            arr = np.asarray(arr)
+            full = np.full((n_pad_s,) + arr.shape[1:], fill, dtype=arr.dtype)
+            full[: arr.shape[0]] = arr
+            spec = P("rows") if arr.ndim == 1 else P("rows", None)
+            return jax.device_put(full, NamedSharding(mesh, spec))
+
+        def put_chunks(arr, fill):
+            arr = np.asarray(arr)
+            full = np.full((n_chunks_s,) + arr.shape[1:], fill, dtype=arr.dtype)
+            full[: arr.shape[0]] = arr
+            spec = P("rows") if arr.ndim == 1 else P("rows", None)
+            return jax.device_put(full, NamedSharding(mesh, spec))
+
+        out._dv = scoring.DeviceVecs(
+            put_rows(dv.vectors, 0.0),
+            put_rows(dv.norms_sq, 0.0),
+            put_rows(dv.inv_norms, 0.0),
+            put_rows(dv.valid, False),
+        )
+        out._chunk_lens = put_chunks(store._chunk_lens, 0)
+
+        row_keys = {"vals", "hi", "lo", "null", "rh_hi", "rh_lo"}
+        dev_cols: Dict[str, Dict] = {}
+        for name, colarrs in store._device_cols.items():
+            shard_col = {}
+            for key, arr in colarrs.items():
+                if key in row_keys:
+                    fill = True if key == "null" else 0
+                    shard_col[key] = put_rows(arr, fill)
+                elif key == "non_null":
+                    shard_col[key] = put_chunks(arr, 0)
+                elif key == "bloom":
+                    shard_col[key] = put_chunks(arr, 0)
+                else:  # zonemap min/max components: fill value irrelevant
+                    # (padded chunks have non_null == 0 and never survive)
+                    shard_col[key] = put_chunks(arr, 0)
+            dev_cols[name] = shard_col
+        out._device_cols = dev_cols
+        return out
+
+    # MetaQueryPlan calls this hook; run the SPMD program instead.
+    def _run_query_program(
+        self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
+        take_min, cmp,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        b = queries.shape[0]
+        n_batch = self.mesh.shape["batch"]
+        b_pad = max(n_batch, -(-b // n_batch) * n_batch)
+        q_host = np.zeros((b_pad, queries.shape[1]), dtype=np.float32)
+        q_host[:b] = np.asarray(queries)
+        qs = jax.device_put(
+            q_host, NamedSharding(self.mesh, P("batch", None))
+        )
+        qv = jax.device_put(
+            np.arange(b_pad) < b, NamedSharding(self.mesh, P("batch"))
+        )
+        return _sharded_meta_query(
+            self._dv,
+            cols_sub,
+            self._chunk_lens,
+            qs,
+            qv,
+            plan_params,
+            jnp.float32(thr),
+            mesh=self.mesh,
+            plan_static=plan_static,
+            metric=metric,
+            k=min(k, b * self._dv.vectors.shape[0]),
+            take_min=take_min,
+            cmp=cmp,
+            prec=self.precision,
+        )
+
+
+def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
+    """Build then shard (convenience wrapper)."""
+    return ShardedMetaStore.shard(builder.build(), mesh)

@@ -1,0 +1,113 @@
+"""ShardedMetaStore: exact agreement with the single-device MetaStore."""
+
+import numpy as np
+import pytest
+
+from otters_tpu import Cmp, Column, DataType, Metric, MetaStore, col
+from otters_tpu.parallel import ShardedMetaStore, make_mesh
+
+
+@pytest.fixture(scope="module")
+def stores():
+    rng = np.random.default_rng(21)
+    n, d = 3000, 32
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    price = list(rng.uniform(0, 100, n))
+    tag = [f"t{i % 37}" for i in range(n)]
+    when = [
+        f"202{(i % 4)}-0{(i % 9) + 1}-15" for i in range(n)
+    ]
+    cols = [
+        Column("price", DataType.Float64).from_values(price),
+        Column("tag", DataType.String).from_values(tag),
+        Column("when", DataType.DateTime).from_values(when),
+    ]
+    local = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(256)
+        .build()
+    )
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = ShardedMetaStore.shard(local, mesh)
+    return local, sharded, vectors
+
+
+def _q(rng, d, b):
+    return [list(v) for v in rng.normal(size=(b, d)).astype(np.float32)]
+
+
+def test_sharded_unfiltered_matches(stores):
+    local, sharded, vectors = stores
+    rng = np.random.default_rng(1)
+    qs = _q(rng, 32, 4)
+    want = local.query_batch(qs, Metric.Cosine).take(12).collect()
+    got = sharded.query_batch(qs, Metric.Cosine).take(12).collect()
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_numeric_filter_matches(stores):
+    local, sharded, _ = stores
+    rng = np.random.default_rng(2)
+    qs = _q(rng, 32, 3)
+    expr = col("price").lt(30.0) & col("when").gte("2022-01-01")
+    want = local.query_batch(qs, Metric.DotProduct).meta_filter(expr).take(20).collect()
+    got = sharded.query_batch(qs, Metric.DotProduct).meta_filter(expr).take(20).collect()
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-5)
+    # materialized metadata agrees
+    assert got.column("price").null_mask().tolist() == want.column(
+        "price"
+    ).null_mask().tolist()
+
+
+def test_sharded_string_bloom_filter_matches(stores):
+    local, sharded, _ = stores
+    rng = np.random.default_rng(3)
+    qs = _q(rng, 32, 2)
+    expr = col("tag").eq("t5") | col("tag").eq("t11")
+    want = local.query_batch(qs, Metric.Cosine).meta_filter(expr).take(15).collect()
+    got = sharded.query_batch(qs, Metric.Cosine).meta_filter(expr).take(15).collect()
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_vec_filter_euclidean(stores):
+    local, sharded, _ = stores
+    rng = np.random.default_rng(4)
+    qs = _q(rng, 32, 2)
+    want = (
+        local.query_batch(qs, Metric.Euclidean)
+        .vec_filter(50.0, Cmp.Lt)
+        .take(10)
+        .collect()
+    )
+    got = (
+        sharded.query_batch(qs, Metric.Euclidean)
+        .vec_filter(50.0, Cmp.Lt)
+        .take(10)
+        .collect()
+    )
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_stats_match(stores):
+    local, sharded, _ = stores
+    rng = np.random.default_rng(5)
+    qs = _q(rng, 32, 2)
+    expr = col("price").lt(10.0)
+    _ = local.query_batch(qs, Metric.Cosine).meta_filter(expr).take(5).collect()
+    ls = local.last_query_stats()
+    _ = sharded.query_batch(qs, Metric.Cosine).meta_filter(expr).take(5).collect()
+    ss = sharded.last_query_stats()
+    assert ss.evaluated_chunks == ls.evaluated_chunks
+    assert ss.vectors_compared == ls.vectors_compared
+    assert ss.total_chunks == ls.total_chunks
+
+    # unfiltered stats: padded shard chunks must not inflate counts
+    _ = sharded.query_batch(qs, Metric.Cosine).take(5).collect()
+    ss2 = sharded.last_query_stats()
+    assert ss2.evaluated_chunks == local.n_chunks()
+    assert ss2.vectors_compared == len(local) * 2
