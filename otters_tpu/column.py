@@ -227,6 +227,21 @@ class Column:
     # Alias matching the reference method name (``from`` is reserved in Python).
     from_ = from_values
 
+    def _set_raw(self, values, null_mask: np.ndarray) -> "Column":
+        """Bulk-load raw storage (sentinels included) + null mask.
+
+        Internal fast path for persistence (otters_tpu.io): values are the
+        already-sentineled backing data, so no per-value validation runs.
+        """
+        if len(self):
+            raise ColumnTypeMismatch(self._dtype, "bulk load on non-empty column")
+        if self._dtype is DataType.String:
+            self._data = list(values)
+        else:
+            self._data.extend(np.asarray(values, dtype=self._dtype.numpy_dtype))
+        self._null_mask.extend(np.asarray(null_mask, dtype=np.bool_))
+        return self
+
     # ---- display ---------------------------------------------------------
     def head(self) -> None:
         self.head_n(5)

@@ -1,0 +1,137 @@
+"""Persistence: save/load stores to disk.
+
+The reference lists persistence as roadmap (README.md:207 "Persistence
+(save/load MetaStore to/from disk)"); otters-tpu ships it. Format: a single
+``.npz`` (no pickling — strings are stored as UTF-8 byte arenas + offsets)
+plus an embedded JSON manifest. Loading rebuilds device state through the
+normal build path, so zonemaps/Bloom bits are reconstructed deterministically
+from the same configuration.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Union
+
+import numpy as np
+
+from .column import Column
+from .errors import OttersError
+from .meta import MetaStore
+from .types import DataType
+from .vec import VecStore
+
+_FORMAT_VERSION = 1
+
+
+def _pack_strings(strings):
+    encoded = [s.encode("utf-8") for s in strings]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    data = (
+        np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        if encoded
+        else np.zeros(0, np.uint8)
+    )
+    return data, offsets
+
+
+def _unpack_strings(data: np.ndarray, offsets: np.ndarray):
+    buf = data.tobytes()
+    return [
+        buf[offsets[i] : offsets[i + 1]].decode("utf-8")
+        for i in range(len(offsets) - 1)
+    ]
+
+
+def save_meta(store: MetaStore, path: str) -> None:
+    """Serialize a MetaStore (vectors + columns + config) to ``path``."""
+    n = store.n_rows
+    arrays = {}
+    vectors = np.asarray(store._dv.vectors)[:n] if store._dv is not None else (
+        np.zeros((0, store._dim), np.float32)
+    )
+    arrays["vectors"] = vectors
+    schema = {}
+    for name, col in store.columns().items():
+        dt = col.dtype
+        schema[name] = dt.value
+        arrays[f"col_null::{name}"] = np.asarray(col.null_mask())[:n]
+        if dt is DataType.String:
+            data, offsets = _pack_strings(list(col.values())[:n])
+            arrays[f"col_strdata::{name}"] = data
+            arrays[f"col_stroff::{name}"] = offsets
+        else:
+            arrays[f"col_vals::{name}"] = np.asarray(col.values())[:n]
+    bloom_kind, bloom_val = store._bloom_config
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "kind": "MetaStore",
+        "n_rows": n,
+        "dim": store._dim,
+        "chunk_size": store.chunk_size(),
+        "bloom_kind": bloom_kind,
+        "bloom_val": bloom_val,
+        "schema": schema,
+    }
+    arrays["manifest"] = np.frombuffer(
+        json.dumps(manifest).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_meta(path: str) -> MetaStore:
+    """Load a MetaStore saved with :func:`save_meta` (device state rebuilt)."""
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["manifest"]).decode("utf-8"))
+        if manifest.get("kind") != "MetaStore":
+            raise OttersError(f"{path} does not contain a MetaStore")
+        n = manifest["n_rows"]
+        cols = []
+        for name, dt_name in manifest["schema"].items():
+            dt = DataType(dt_name)
+            col = Column(name, dt)
+            nulls = z[f"col_null::{name}"]
+            if dt is DataType.String:
+                vals = _unpack_strings(
+                    z[f"col_strdata::{name}"], z[f"col_stroff::{name}"]
+                )
+            else:
+                vals = z[f"col_vals::{name}"]
+            col._set_raw(vals, nulls)
+            assert len(col) == n
+            cols.append(col)
+        builder = MetaStore.from_columns(cols).with_vectors(
+            np.asarray(z["vectors"])
+        ).with_chunk_size(manifest["chunk_size"])
+        if manifest["bloom_kind"] == "fpr":
+            builder = builder.with_bloom_fpr(manifest["bloom_val"])
+        else:
+            builder = builder.with_bloom_bits(int(manifest["bloom_val"]))
+        return builder.build()
+
+
+def save_vec(store: VecStore, path: str) -> None:
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "kind": "VecStore",
+        "dim": store.dim,
+        "n": len(store),
+    }
+    np.savez(
+        path,
+        vectors=store._host_matrix(),
+        manifest=np.frombuffer(json.dumps(manifest).encode("utf-8"), np.uint8),
+    )
+
+
+def load_vec(path: str) -> VecStore:
+    with np.load(path) as z:
+        manifest = json.loads(bytes(z["manifest"]).decode("utf-8"))
+        if manifest.get("kind") != "VecStore":
+            raise OttersError(f"{path} does not contain a VecStore")
+        store = VecStore(manifest["dim"])
+        vectors = np.asarray(z["vectors"])
+        if len(vectors):
+            store.add_vectors(vectors)
+        return store

@@ -347,6 +347,7 @@ class MetaStoreBuilder:
         self._vectors = None
         self._chunk_size = 1024
         self._bloom: Tuple[str, float] = ("fpr", 0.01)
+        self._storage_dtype = "float32"
 
     def with_vectors(self, vectors) -> "MetaStoreBuilder":
         self._vectors = vectors
@@ -354,6 +355,15 @@ class MetaStoreBuilder:
 
     def with_chunk_size(self, chunk_size: int) -> "MetaStoreBuilder":
         self._chunk_size = max(1, int(chunk_size))
+        return self
+
+    def with_storage_dtype(self, dtype: str) -> "MetaStoreBuilder":
+        """HBM storage dtype for vectors: "float32" (default, exact) or
+        "bfloat16" (half the HBM; scores computed in f32 from bf16-rounded
+        vectors — a speed/memory knob, rankings may differ at the ulp)."""
+        if dtype not in ("float32", "bfloat16"):
+            raise OttersError(f"unsupported storage dtype {dtype!r}")
+        self._storage_dtype = dtype
         return self
 
     def with_bloom_fpr(self, fpr: float) -> "MetaStoreBuilder":
@@ -427,10 +437,13 @@ class MetaStoreBuilder:
 
         # vector ingest: host -> HBM + on-device norm computation
         ingest_start = time.perf_counter()
+        import jax.numpy as _jnp
+
+        _dtype = _jnp.bfloat16 if self._storage_dtype == "bfloat16" else _jnp.float32
         if from_device:
-            dv = scoring.materialize_from_device(vectors)
+            dv = scoring.materialize_from_device(vectors, dtype=_dtype)
         else:
-            dv = scoring.materialize(vectors)
+            dv = scoring.materialize(vectors, dtype=_dtype)
         jax.block_until_ready(dv)
         ingest_dur = time.perf_counter() - ingest_start
 
@@ -469,6 +482,7 @@ class MetaStoreBuilder:
         import jax.numpy as jnp
 
         store._chunk_lens = jnp.asarray(chunk_lens)
+        store._bloom_config = self._bloom
         store._build_stats = MetaBuildStats(
             n_rows=n_rows,
             dim=dim,
@@ -500,6 +514,7 @@ class MetaStore:
         self._col_reprs: Dict[str, str] = {}
         self._bloom_params: Dict[str, bloom_ops.BloomParams] = {}
         self._chunk_lens = None
+        self._bloom_config = ("fpr", 0.01)
         self._build_stats: Optional[MetaBuildStats] = None
         self._last_stats: Optional[MetaQueryStats] = None
         self.precision: str = "highest"
@@ -545,6 +560,19 @@ class MetaStore:
 
     def build_stats(self) -> Optional[MetaBuildStats]:
         return self._build_stats
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Serialize to disk (otters_tpu.io; .npz, no pickling)."""
+        from . import io
+
+        io.save_meta(self, path)
+
+    @staticmethod
+    def load(path: str) -> "MetaStore":
+        from . import io
+
+        return io.load_meta(path)
 
     # -- display -------------------------------------------------------------
     def head(self) -> None:

@@ -76,7 +76,7 @@ def _kernel(
     @pl.when(real)
     def _():
         q = q_ref[:]  # [B_pad, D]
-        v = v_ref[:]  # [T, D]
+        v = v_ref[:].astype(jnp.float32)  # [T, D] (bf16 storage upcasts here)
         dots = jax.lax.dot_general(
             q,
             v,

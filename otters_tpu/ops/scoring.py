@@ -79,13 +79,17 @@ def materialize(vectors_np: np.ndarray, dtype=jnp.float32) -> DeviceVecs:
     return DeviceVecs(vecs, norms_sq, inv_norms, valid)
 
 
-def materialize_from_device(vecs: jax.Array, n_valid: Optional[int] = None) -> DeviceVecs:
+def materialize_from_device(
+    vecs: jax.Array, n_valid: Optional[int] = None, dtype=None
+) -> DeviceVecs:
     """Build a DeviceVecs from an array already resident on device.
 
     Pads rows on device (no host roundtrip) — used by benchmarks and by
     ingestion paths that generate or stream data device-side.
     """
     n, _ = vecs.shape
+    if dtype is not None and vecs.dtype != dtype:
+        vecs = vecs.astype(dtype)
     n_pad = pad_rows(n)
     if n_pad != n:
         vecs = jnp.pad(vecs, ((0, n_pad - n), (0, 0)))

@@ -89,6 +89,18 @@ class VecStore:
     def is_empty(self) -> bool:
         return self._n == 0
 
+    # ---- persistence -----------------------------------------------------
+    def save(self, path: str) -> None:
+        from . import io
+
+        io.save_vec(self, path)
+
+    @staticmethod
+    def load(path: str) -> "VecStore":
+        from . import io
+
+        return io.load_vec(path)
+
     # ---- device ----------------------------------------------------------
     def _host_matrix(self) -> np.ndarray:
         if not self._rows:
