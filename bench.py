@@ -41,6 +41,14 @@ def log(msg: str) -> None:
 def build_store():
     import jax
 
+    # persist compiled executables so reruns skip the (minutes-long on
+    # remote-compile setups) Pallas/XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from otters_tpu import Column, DataType, MetaStore
 
     key = jax.random.PRNGKey(0)

@@ -156,16 +156,28 @@ def pallas_topk(
     rmask01 = valid.astype(jnp.float32)
     if row_mask is not None:
         rmask01 = rmask01 * row_mask.astype(jnp.float32)
-    aux = jnp.zeros((4, n_pad), jnp.float32)
-    aux = aux.at[0].set(inv_norms).at[1].set(norms_sq).at[2].set(rmask01)
-
-    # survivor tile list (stable: alive tiles first, original order)
-    order = jnp.argsort(~tile_alive, stable=True).astype(jnp.int32)
-    n_surv = tile_alive.sum(dtype=jnp.int32)
-    pos = jnp.minimum(
-        jnp.arange(n_tiles, dtype=jnp.int32), jnp.maximum(n_surv - 1, 0)
+    aux = jnp.concatenate(
+        [
+            inv_norms[None, :],
+            norms_sq[None, :],
+            rmask01[None, :],
+            jnp.zeros((1, n_pad), jnp.float32),
+        ],
+        axis=0,
     )
-    surv = order[pos]
+
+    # survivor tile list: surv[g] = index of the g-th alive tile, computed
+    # with a vectorized binary search over the alive-count cumsum (argsort
+    # and scatter both cost milliseconds on TPU even at this tiny size)
+    alive_i = tile_alive.astype(jnp.int32)
+    n_surv = alive_i.sum()
+    cs = jnp.cumsum(alive_i)
+    g = jnp.arange(n_tiles, dtype=jnp.int32)
+    surv_raw = jnp.searchsorted(cs, g + 1, side="left").astype(jnp.int32)
+    last = jnp.searchsorted(cs, jnp.maximum(n_surv, 1), side="left").astype(
+        jnp.int32
+    )
+    surv = jnp.where(g < n_surv, surv_raw, last)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -255,6 +267,10 @@ def q_sq_pad(q_sq, b_pad):
 
 def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
     """Can the fused kernel handle this shape on the current backend?"""
+    import os
+
+    if os.environ.get("OTTERS_DISABLE_PALLAS"):
+        return False
     try:
         if jax.devices()[0].platform != "tpu":
             return False
