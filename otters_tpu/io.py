@@ -11,7 +11,7 @@ from the same configuration.
 from __future__ import annotations
 
 import json
-from typing import Union
+
 
 import numpy as np
 

@@ -9,6 +9,24 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (call once per process on a pod).
+
+    After this, ``make_mesh`` sees every chip in the slice and sharded
+    stores span hosts; collectives ride ICI within a slice and DCN across
+    slices — XLA picks the transport from the mesh topology.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     rows: Optional[int] = None,
     batch: int = 1,

@@ -15,16 +15,13 @@ traffic is O(devices * k) score/index pairs plus two scalar psums.
 
 from __future__ import annotations
 
-import time
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
-from ..errors import OttersError
-from ..meta import MetaQueryPlan, MetaStore, MetaStoreBuilder
+from ..meta import MetaStore, MetaStoreBuilder
 from ..ops import predicate, scoring
-from ..types import Metric
 
 
 def _jit_sharded_program():

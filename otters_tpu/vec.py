@@ -16,7 +16,7 @@ TPU-native re-design of the reference ``src/vec.rs``:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
