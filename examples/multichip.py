@@ -1,0 +1,56 @@
+"""Multi-chip sharded search over a jax.sharding Mesh.
+
+Runs on real chips when available; set
+``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``
+to try it on a virtual 8-device CPU mesh. On a multi-host pod, call
+``otters_tpu.parallel.init_distributed()`` first.
+
+Usage: python examples/multichip.py [n_rows] [dim]
+"""
+
+import sys
+
+import jax
+import numpy as np
+
+from otters_tpu import Column, DataType, Metric, MetaStore, col
+from otters_tpu.parallel import ShardedMetaStore, make_mesh
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+    n_dev = len(jax.devices())
+    batch = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+    mesh = make_mesh(rows=n_dev // batch, batch=batch)
+    print(f"mesh: {dict(mesh.shape)} over {n_dev} x {jax.devices()[0].device_kind}")
+
+    rng = np.random.default_rng(0)
+    local = (
+        MetaStore.from_columns(
+            [
+                Column("price", DataType.Float64).from_values(
+                    list(rng.uniform(1, 100, n))
+                )
+            ]
+        )
+        .with_vectors(rng.normal(size=(n, d)).astype(np.float32))
+        .with_chunk_size(1024)
+        .build()
+    )
+    store = ShardedMetaStore.shard(local, mesh)
+
+    queries = rng.normal(size=(8, d)).astype(np.float32)
+    results = (
+        store.query_batch(queries, Metric.Cosine)
+        .meta_filter(col("price").lt(25.0))
+        .take(10)
+        .collect()
+    )
+    print(results)
+    store.print_last_query_stats()
+
+
+if __name__ == "__main__":
+    main()
