@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import Cmp, Metric
-from .scoring import _filter_ok, _precision, _query_norms
+from .scoring import _filter_ok, _precision, _query_norms, exact_topk_flat
 
 BIN = 512
 LANE = 128
@@ -210,7 +210,7 @@ def pallas_topk(
     # ---- phase 2 (XLA): winner-bin gather + exact rescore ----
     flat = bins.reshape(-1)  # [n_tiles * nb * b_pad], slot -> (g, j, q)
     kb = min(k, flat.shape[0])
-    _, top_slots = jax.lax.top_k(flat, kb)
+    _, top_slots = exact_topk_flat(flat, kb)
     gsel = top_slots // (nb * b_pad)
     jsel = (top_slots // b_pad) % nb
     qsel = top_slots % b_pad

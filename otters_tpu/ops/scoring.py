@@ -157,6 +157,37 @@ def _query_norms(queries):
     return q_sq, q_inv
 
 
+HIER_BIN = 512
+
+
+def exact_topk_flat(key, k: int):
+    """Exact top-k over a 1D key array, fast at scale.
+
+    ``lax.top_k`` lowers to a sort-flavored kernel that is slow for large
+    inputs on TPU. For big arrays this prefilters with per-512-bin maxima:
+    every true top-k element's bin max is >= the k-th best value, so the
+    top-k bins are a superset of the answer; the final exact top-k runs
+    over <= k*512 gathered candidates. Ties prefer lower indices, like
+    ``lax.top_k`` itself.
+    """
+    n = key.shape[0]
+    k = min(k, n)
+    if n <= (1 << 15) or n % HIER_BIN != 0 or k * HIER_BIN * 4 >= n:
+        return jax.lax.top_k(key, k)
+    nb = n // HIER_BIN
+    bins = key.reshape(nb, HIER_BIN)
+    bmax = bins.max(axis=1)
+    km = min(k, nb)
+    _, top_bins = exact_topk_flat(bmax, km)  # recurse while still large
+    cand = bins[top_bins].reshape(-1)
+    cand_idx = (
+        top_bins[:, None] * HIER_BIN
+        + jnp.arange(HIER_BIN, dtype=top_bins.dtype)[None, :]
+    ).reshape(-1)
+    val, sel = jax.lax.top_k(cand, k)
+    return val, cand_idx[sel]
+
+
 # ---------------------------------------------------------------------------
 # Direct path
 # ---------------------------------------------------------------------------
@@ -199,7 +230,7 @@ def direct_topk_core(
     if take_min:
         key = -key
     key_flat = key.reshape(-1)
-    top_key, top_flat = jax.lax.top_k(key_flat, k)
+    top_key, top_flat = exact_topk_flat(key_flat, k)
     rows = (top_flat % n_pad).astype(jnp.int32)
     out_scores = scores.reshape(-1)[top_flat]
     out_valid = ok.reshape(-1)[top_flat]
@@ -320,7 +351,7 @@ def panel_topk_core(
         key3 = key.reshape(b, n_bins, PANEL_BIN)
         bin_max = key3.max(axis=2).reshape(-1)  # [b * n_bins]
         kb = min(k, bin_max.shape[0])
-        _, top_bins = jax.lax.top_k(bin_max, kb)
+        _, top_bins = exact_topk_flat(bin_max, kb)
         qi = top_bins // n_bins
         bi = top_bins % n_bins
         cand_key = key3[qi, bi].reshape(-1)  # [kb * PANEL_BIN]
@@ -442,7 +473,7 @@ def scan_topk_core(
         can_improve = jnp.max(key_flat) > kth
 
         def merge(_):
-            t_key, t_flat = jax.lax.top_k(key_flat, kk)
+            t_key, t_flat = exact_topk_flat(key_flat, kk)
             t_row = (t_idx * tile + t_flat % tile).astype(jnp.int32)
             t_score = scores.reshape(-1)[t_flat]
             t_valid = ok.reshape(-1)[t_flat]
