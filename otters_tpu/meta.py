@@ -239,6 +239,7 @@ def _jit_meta_program():
             "prec",
             "tile",
             "chunk_size",
+            "fast",
         ),
     )
     def meta_query(
@@ -257,6 +258,7 @@ def _jit_meta_program():
         prec,
         tile,
         chunk_size=0,
+        fast=False,
     ):
         """The whole meta query as ONE device program (single dispatch):
 
@@ -300,7 +302,7 @@ def _jit_meta_program():
                 import jax.numpy as jnp
 
                 alive = jnp.ones(n_pad // t_rows, dtype=jnp.bool_)
-            rows, scores, ok = pk.pallas_topk(
+            rows, scores, ok, check = pk.pallas_topk(
                 dv.vectors,
                 dv.norms_sq,
                 dv.inv_norms,
@@ -309,9 +311,11 @@ def _jit_meta_program():
                 rmask,
                 thr,
                 alive,
+                fast=fast,
                 **kwargs,
             )
-        elif tile == "panel":
+            return rows, scores, ok, check, evaluated, rows_eval
+        if tile == "panel":
             rows, scores, ok = scoring.panel_topk_core(*args, **kwargs)
         elif tile == "scan":
             rows, scores, ok = scoring.scan_topk_core(
@@ -319,7 +323,9 @@ def _jit_meta_program():
             )
         else:
             rows, scores, ok = scoring.direct_topk_core(*args, **kwargs)
-        return rows, scores, ok, evaluated, rows_eval
+        import jax.numpy as jnp
+
+        return rows, scores, ok, jnp.bool_(True), evaluated, rows_eval
 
     return meta_query
 
@@ -345,12 +351,19 @@ class MetaStoreBuilder:
         self._schema = dict(schema)
         self._columns = dict(columns)
         self._vectors = None
+        self._vectors_n = None
         self._chunk_size = 1024
         self._bloom: Tuple[str, float] = ("fpr", 0.01)
         self._storage_dtype = "float32"
 
-    def with_vectors(self, vectors) -> "MetaStoreBuilder":
+    def with_vectors(self, vectors, n_rows=None) -> "MetaStoreBuilder":
+        """Supply vectors: a [n, d] numpy array / list of rows, or a
+        device-resident jax.Array (zero host roundtrip). For huge device
+        arrays, pre-pad to ``scoring.pad_rows(n)`` rows and pass the logical
+        row count via ``n_rows`` — ingestion is then zero-copy (no duplicate
+        HBM buffer during build)."""
         self._vectors = vectors
+        self._vectors_n = n_rows
         return self
 
     def with_chunk_size(self, chunk_size: int) -> "MetaStoreBuilder":
@@ -403,6 +416,8 @@ class MetaStoreBuilder:
             # TPU-native ingestion: vectors already in HBM (generated or
             # streamed on device); no host round-trip.
             n_rows, dim = int(vectors.shape[0]), int(vectors.shape[1])
+            if self._vectors_n is not None:
+                n_rows = int(self._vectors_n)  # pre-padded zero-copy ingest
         elif not isinstance(vectors, np.ndarray):
             vecs_list = [np.asarray(v, dtype=np.float32) for v in vectors]
             n_rows = len(vecs_list)
@@ -441,7 +456,9 @@ class MetaStoreBuilder:
 
         _dtype = _jnp.bfloat16 if self._storage_dtype == "bfloat16" else _jnp.float32
         if from_device:
-            dv = scoring.materialize_from_device(vectors, dtype=_dtype)
+            dv = scoring.materialize_from_device(
+                vectors, n_valid=n_rows, dtype=_dtype
+            )
         else:
             dv = scoring.materialize(vectors, dtype=_dtype)
         jax.block_until_ready(dv)
@@ -600,7 +617,7 @@ class MetaStore:
     # -- device program hook (overridden by ShardedMetaStore) ----------------
     def _run_query_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
-        take_min, cmp,
+        take_min, cmp, strict=False,
     ):
         import jax.numpy as jnp
 
@@ -609,11 +626,15 @@ class MetaStore:
         b = queries.shape[0]
         k_eff = min(k, b * n_pad)
         tile = scoring.choose_mode(n_pad, b, k_eff)
+        fast = False
         if tile == "panel":
             from .ops import pallas_topk as pk
 
             if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):
                 tile = "pallas"
+                fast = not strict and pk.fast_ok(
+                    metric, take_min, cmp, k_eff, self.precision
+                )
         return _meta_query_program(
             dv,
             cols_sub,
@@ -629,6 +650,7 @@ class MetaStore:
             prec=self.precision,
             tile=tile,
             chunk_size=self._chunk_size,
+            fast=fast,
         )
 
     # -- query ---------------------------------------------------------------
@@ -844,20 +866,26 @@ class MetaQueryPlan:
                     f"expected dimension {store._dim}"
                 )
             thr, cmp = (None, None) if self._vec_filter is None else self._vec_filter
-            raw = store._run_query_program(
-                cols_sub,
-                queries,
-                plan_params,
-                0.0 if thr is None else thr,
-                plan_static,
-                self._metric,
-                k,
-                (take_type is TakeType.Min),
-                None if thr is None else cmp,
-            )
+
+            def run(strict=False):
+                return store._run_query_program(
+                    cols_sub,
+                    queries,
+                    plan_params,
+                    0.0 if thr is None else thr,
+                    plan_static,
+                    self._metric,
+                    k,
+                    (take_type is TakeType.Min),
+                    None if thr is None else cmp,
+                    strict=strict,
+                )
+
+            raw = run()
+            strict_redo = partial(run, strict=True)
         return PendingMetaQuery(
             plan=self,
-            raw=raw,
+            raw=raw if store.n_rows > 0 and k > 0 and b > 0 else None,
             queries=queries,
             k=k,
             take_type=take_type,
@@ -865,6 +893,9 @@ class MetaQueryPlan:
             total_start=total_start,
             prune_dur=prune_dur,
             score_start=score_start,
+            strict_redo=(
+                strict_redo if store.n_rows > 0 and k > 0 and b > 0 else None
+            ),
         )
 
 
@@ -882,9 +913,11 @@ class PendingMetaQuery:
         total_start,
         prune_dur,
         score_start,
+        strict_redo=None,
     ):
         self._plan = plan
         self._raw = raw
+        self._strict_redo = strict_redo
         self._queries = queries
         self._k = k
         self._take_type = take_type
@@ -911,11 +944,16 @@ class PendingMetaQuery:
         rows_eval = store.n_rows
         if self._raw is not None:
             # one batched device->host fetch for all outputs
-            rows, scrs, valid, ev, re_ = (
+            rows, scrs, valid, check, ev, re_ = (
                 self._fetched
                 if self._fetched is not None
                 else jax.device_get(self._raw)
             )
+            if not bool(check) and self._strict_redo is not None:
+                # verified fast-exact check failed; re-run at HIGHEST
+                rows, scrs, valid, _, ev, re_ = jax.device_get(
+                    self._strict_redo()
+                )
             evaluated = int(ev)
             rows_eval = int(re_)
             indices = [int(r) for r, ok in zip(rows, valid) if ok]

@@ -33,7 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..types import Cmp, Metric
-from .scoring import _filter_ok, _precision, _query_norms, exact_topk_flat
+from .scoring import (
+    _filter_ok,
+    _precision,
+    _query_norms,
+    exact_topk_flat,
+    high_precision_bound,
+)
 
 BIN = 512
 LANE = 128
@@ -77,13 +83,28 @@ def _kernel(
     def _():
         q = q_ref[:]  # [B_pad, D]
         v = v_ref[:].astype(jnp.float32)  # [T, D] (bf16 storage upcasts here)
-        dots = jax.lax.dot_general(
-            q,
-            v,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_precision(prec),
-        )  # [B_pad, T]
+        dn = (((1,), (1,)), ((), ()))
+        if prec == "high":
+            # Mosaic has no Precision.HIGH lowering; do bf16_3x by hand:
+            # three bf16 MXU passes with f32 accumulation, dropping ql.vl
+            # (the sound error bound lives in scoring.high_precision_bound)
+            qh = q.astype(jnp.bfloat16)
+            ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+            vh = v.astype(jnp.bfloat16)
+            vl = (v - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+            dots = (
+                jax.lax.dot_general(qh, vh, dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(qh, vl, dn, preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(ql, vh, dn, preferred_element_type=jnp.float32)
+            )
+        else:
+            dots = jax.lax.dot_general(
+                q,
+                v,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+                precision=_precision(prec),
+            )  # [B_pad, T]
         inv = aux_ref[0, :][None, :]
         nsq = aux_ref[1, :][None, :]
         rmask = aux_ref[2, :][None, :]
@@ -112,9 +133,27 @@ def _kernel(
         out_ref[0] = jnp.full_like(out_ref[0], -jnp.inf)
 
 
+def fast_ok(metric: Metric, take_min: bool, cmp, k: int, prec: str) -> bool:
+    """Is the verified fast-exact mode applicable?
+
+    Cosine only (scores are norm-scaled, so the bf16_3x error bound is the
+    dimension-only constant ``high_precision_bound(d)``); Eq score filters
+    need two-sided slack and are excluded; large k makes the 4k-bin
+    candidate set expensive."""
+    return (
+        prec == "highest"
+        and metric is Metric.Cosine
+        and not take_min
+        and cmp is not Cmp.Eq
+        and k <= 128
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("metric", "k", "take_min", "cmp", "prec", "interpret"),
+    static_argnames=(
+        "metric", "k", "take_min", "cmp", "prec", "interpret", "fast"
+    ),
 )
 def pallas_topk(
     vectors,
@@ -132,12 +171,23 @@ def pallas_topk(
     cmp: Optional[Cmp],
     prec: str = "highest",
     interpret: bool = False,
+    fast: bool = False,
 ):
     """Fused pruned scoring + exact top-k.
 
     tile_alive: [n_tiles] bool — False tiles are skipped entirely (no DMA,
     no MXU). Soundness requires that every row of a dead tile fails
     ``row_mask`` (zonemap pruning guarantees this; see ops/predicate.py).
+
+    fast=True (verified fast-exact, cosine only): phase 1 runs the MXU at
+    Precision.HIGH (bf16_3x, ~2.3x faster) with the score filter loosened by
+    the sound error bound C = high_precision_bound(d); 4k candidate bins are
+    selected by HIGH bin-max and re-scored exactly at HIGHEST. The returned
+    ``check`` flag certifies the result: it is True iff the k-th exact score
+    beats every unselected bin's HIGH max plus C — then no unexamined row
+    can belong to the true top-k. On False, callers re-run with fast=False.
+
+    Returns (rows[k], scores[k], valid[k], check).
     """
     n_pad, d = vectors.shape
     b = queries.shape[0]
@@ -146,6 +196,23 @@ def pallas_topk(
     n_tiles = n_pad // t
     nb = t // BIN
     b_pad = _round_up(b, LANE)
+
+    if fast:
+        assert fast_ok(metric, take_min, cmp, k, prec)
+        bound = high_precision_bound(d)
+        prec1 = "high"
+        # loosen the phase-1 score filter by the error bound so no row that
+        # truly passes can be excluded by HIGH-precision scores
+        if cmp in (Cmp.Gt, Cmp.Gte):
+            thr1 = thr - bound
+        elif cmp in (Cmp.Lt, Cmp.Lte):
+            thr1 = thr + bound
+        else:
+            thr1 = thr
+    else:
+        bound = 0.0
+        prec1 = prec
+        thr1 = thr
 
     q_sq, q_inv = _query_norms(queries)
     q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
@@ -192,7 +259,8 @@ def pallas_topk(
     )
     bins = pl.pallas_call(
         partial(
-            _kernel, metric=metric, take_min=take_min, cmp=cmp, prec=prec, nb=nb
+            _kernel, metric=metric, take_min=take_min, cmp=cmp, prec=prec1,
+            nb=nb,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, nb, b_pad), jnp.float32),
@@ -200,7 +268,7 @@ def pallas_topk(
     )(
         surv,
         n_surv.reshape(1),
-        thr.reshape(1),
+        thr1.reshape(1),
         q_pad,
         vectors,
         aux,
@@ -209,8 +277,22 @@ def pallas_topk(
 
     # ---- phase 2 (XLA): winner-bin gather + exact rescore ----
     flat = bins.reshape(-1)  # [n_tiles * nb * b_pad], slot -> (g, j, q)
-    kb = min(k, flat.shape[0])
-    _, top_slots = exact_topk_flat(flat, kb)
+    n_slots = flat.shape[0]
+    if fast:
+        kb = min(4 * k, n_slots)
+        sel_n = min(kb + 1, n_slots)
+        top_vals, top_all = exact_topk_flat(flat, sel_n)
+        if sel_n > kb:
+            boundary = top_vals[-1]  # best HIGH bin-max left unexamined
+            top_slots = top_all[:kb]
+        else:
+            boundary = jnp.float32(-jnp.inf)  # every bin examined
+            top_slots = top_all
+            kb = sel_n
+    else:
+        kb = min(k, n_slots)
+        boundary = jnp.float32(-jnp.inf)
+        _, top_slots = exact_topk_flat(flat, kb)
     gsel = top_slots // (nb * b_pad)
     jsel = (top_slots // b_pad) % nb
     qsel = top_slots % b_pad
@@ -250,11 +332,17 @@ def pallas_topk(
     if take_min:
         key = -key
     key_flat = key.reshape(-1)
-    _, sel = jax.lax.top_k(key_flat, min(k, key_flat.shape[0]))
+    top_keys, sel = jax.lax.top_k(key_flat, min(k, key_flat.shape[0]))
     out_rows = rows_flat[sel].astype(jnp.int32)
     out_scores = scores.reshape(-1)[sel]
     out_ok = ok.reshape(-1)[sel]
-    return out_rows, out_scores, out_ok
+    if fast:
+        # certify: the k-th exact score must beat anything a skipped bin
+        # could hold (its HIGH max plus the sound bound)
+        check = top_keys[-1] >= boundary + bound
+    else:
+        check = jnp.bool_(True)
+    return out_rows, out_scores, out_ok, check
 
 
 def q_inv_pad(q_inv, b_pad):

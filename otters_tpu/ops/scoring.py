@@ -111,9 +111,26 @@ def _device_norms(vecs):
 def _precision(p: str):
     return {
         "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,  # bf16_3x
         "default": jax.lax.Precision.DEFAULT,
         "bf16": jax.lax.Precision.DEFAULT,
     }[p]
+
+
+def high_precision_bound(d: int) -> float:
+    """Sound bound on |dot_bf16_3x - dot_HIGHEST| / (||q|| * ||v||).
+
+    bf16_3x computes a.b as the f32-accumulated sum of three bf16-split
+    partial products ah.bh + ah.bl + al.bh. With a = ah + al + r,
+    |al| <= 2^-8 |a| and the split residual |r| <= 2^-16 |a| (two bf16
+    roundings), the dropped/residual mass per element is
+    |al.bl| + |r.b| + |a.rb| <= (2^-16 + 2^-15) |a||b|, and by
+    Cauchy-Schwarz <= 2^-14.4 ||a|| ||b|| over the dot. Both computations
+    accumulate in f32 with forward error <= gamma_D sum|terms|
+    (gamma_D ~= D * 2^-24), counted for each partial sum. Total,
+    conservatively: 2^-14 + 4 * D * 2^-24.
+    """
+    return 2.0**-14 + 4.0 * d * 2.0**-24
 
 
 def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: str):
@@ -608,10 +625,22 @@ def run_vec_topk(
         if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):
             t = pk.choose_tile(dv.vectors.shape[1], n_pad)
             alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
-            rows, scores, valid = pk.pallas_topk(
-                *args[:5], rm, thr_arr, alive, **kwargs
+            fast = pk.fast_ok(metric, take_min, cmp_eff, k_eff, prec)
+            rows, scores, valid, check = pk.pallas_topk(
+                *args[:5], rm, thr_arr, alive, fast=fast, **kwargs
             )
-            return jax.device_get((rows, scores, valid))
+            rows, scores, valid, check = jax.device_get(
+                (rows, scores, valid, check)
+            )
+            if fast and not bool(check):
+                # verified fast-exact check failed (ties near the boundary);
+                # re-run strictly at HIGHEST
+                rows, scores, valid, _ = jax.device_get(
+                    pk.pallas_topk(
+                        *args[:5], rm, thr_arr, alive, fast=False, **kwargs
+                    )
+                )
+            return rows, scores, valid
     if mode == "direct":
         rows, scores, valid = _direct_topk(*args, **kwargs)
     elif mode == "panel":

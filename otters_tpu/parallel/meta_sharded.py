@@ -234,7 +234,7 @@ class ShardedMetaStore(MetaStore):
     # MetaQueryPlan calls this hook; run the SPMD program instead.
     def _run_query_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
-        take_min, cmp,
+        take_min, cmp, strict=False,
     ):
         import jax
         import jax.numpy as jnp
@@ -251,7 +251,7 @@ class ShardedMetaStore(MetaStore):
         qv = jax.device_put(
             np.arange(b_pad) < b, NamedSharding(self.mesh, P("batch"))
         )
-        return _sharded_meta_query(
+        rows, scores, ok, ev, re_ = _sharded_meta_query(
             self._dv,
             cols_sub,
             self._chunk_lens,
@@ -267,6 +267,7 @@ class ShardedMetaStore(MetaStore):
             cmp=cmp,
             prec=self.precision,
         )
+        return rows, scores, ok, True, ev, re_
 
 
 def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:

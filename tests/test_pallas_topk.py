@@ -47,8 +47,8 @@ def _oracle(vectors, queries, metric, k, take_min, row_mask=None, thr=None, cmp=
 
 
 def _run_pallas(dv, queries, tile_alive, row_mask=None, thr=None, cmp=None,
-                metric=Metric.DotProduct, k=12, take_min=False):
-    rows, scores, ok = pk.pallas_topk(
+                metric=Metric.DotProduct, k=12, take_min=False, fast=False):
+    rows, scores, ok, check = pk.pallas_topk(
         dv.vectors,
         dv.norms_sq,
         dv.inv_norms,
@@ -62,7 +62,9 @@ def _run_pallas(dv, queries, tile_alive, row_mask=None, thr=None, cmp=None,
         take_min=take_min,
         cmp=cmp if thr is not None else None,
         interpret=True,
+        fast=fast,
     )
+    assert bool(np.asarray(check)) or fast
     return np.asarray(rows), np.asarray(scores), np.asarray(ok)
 
 
@@ -129,6 +131,57 @@ def test_pallas_filter_and_mask(data):
     got = scores[ok]
     np.testing.assert_allclose(got, want[: len(got)], rtol=1e-5, atol=1e-5)
     assert all(r % 3 == 0 for r in rows[ok])
+
+
+def test_fast_exact_mode_matches_strict(data):
+    """Verified fast-exact (HIGH phase-1 + exact rescore) == strict results."""
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad)
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    assert pk.fast_ok(Metric.Cosine, False, Cmp.Gt, 10, "highest")
+    assert not pk.fast_ok(Metric.Euclidean, True, None, 10, "highest")
+    assert not pk.fast_ok(Metric.Cosine, False, Cmp.Eq, 10, "highest")
+
+    strict = _run_pallas(dv, queries, alive, metric=Metric.Cosine, k=10)
+    fast = _run_pallas(dv, queries, alive, metric=Metric.Cosine, k=10, fast=True)
+    np.testing.assert_array_equal(fast[0], strict[0])  # same rows
+    np.testing.assert_array_equal(fast[1], strict[1])  # identical exact scores
+
+    # with a score filter (loosened in phase 1, exact in phase 2)
+    strict_f = _run_pallas(
+        dv, queries, alive, metric=Metric.Cosine, k=10, thr=0.05, cmp=Cmp.Gt
+    )
+    fast_f = _run_pallas(
+        dv, queries, alive, metric=Metric.Cosine, k=10, thr=0.05, cmp=Cmp.Gt,
+        fast=True,
+    )
+    np.testing.assert_array_equal(fast_f[0], strict_f[0])
+    np.testing.assert_array_equal(fast_f[1], strict_f[1])
+    assert all(s > 0.05 for s in fast_f[1][fast_f[2]])
+
+
+def test_fast_exact_check_fails_safe():
+    """Adversarial near-ties at the 4k-bin boundary must trip the check,
+    never return a silently wrong result."""
+    rng = np.random.default_rng(5)
+    n, d, b, k = 16384, 128, 1, 4
+    # all vectors nearly identical -> scores tie within the HIGH error bound
+    base = rng.normal(size=d).astype(np.float32)
+    vectors = np.tile(base, (n, 1)) + rng.normal(size=(n, d)).astype(np.float32) * 1e-7
+    queries = base[None, :]
+    dv = scoring.materialize(vectors)
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(d, n_pad)
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    rows, scores, ok, check = pk.pallas_topk(
+        dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+        jnp.asarray(queries), None, jnp.float32(0.0), alive,
+        metric=Metric.Cosine, k=k, take_min=False, cmp=None,
+        interpret=True, fast=True,
+    )
+    # ties everywhere: the certificate must fail (callers then re-run strict)
+    assert not bool(np.asarray(check))
 
 
 def test_tiles_alive_from_chunk_mask():
