@@ -86,6 +86,16 @@ class Expr:
     def gte(self, v) -> "Expr":
         return CmpExpr(self, LiteralExpr(_to_literal(v)), CmpOp.Gte)
 
+    def contains(self, v) -> "Expr":
+        """String column contains substring (extends the reference)."""
+        return CmpExpr(self, LiteralExpr(_to_literal(v)), CmpOp.Contains)
+
+    def starts_with(self, v) -> "Expr":
+        return CmpExpr(self, LiteralExpr(_to_literal(v)), CmpOp.StartsWith)
+
+    def ends_with(self, v) -> "Expr":
+        return CmpExpr(self, LiteralExpr(_to_literal(v)), CmpOp.EndsWith)
+
     def and_(self, other: "Expr") -> "Expr":
         return And(self, other)
 
@@ -240,12 +250,16 @@ def _compile_cmp_leaf(
         raise UnknownColumn(name)
     dtype = schema[name]
 
+    from .types import STRING_EXTENDED_OPS
+
     if dtype is DataType.String:
-        if op not in (CmpOp.Eq, CmpOp.Neq):
+        if op not in (CmpOp.Eq, CmpOp.Neq) + STRING_EXTENDED_OPS:
             raise UnsupportedStringOp(name)
         if literal.kind != "str":
             raise TypeMismatch(name, dtype, "string")
         return ColumnFilter("string", name, op, literal.value)
+    if op in STRING_EXTENDED_OPS:
+        raise TypeMismatch(name, dtype, "string predicate")
 
     if dtype in (DataType.Int32, DataType.Int64):
         if literal.kind == "f64":

@@ -45,15 +45,31 @@ def _unpack_strings(data: np.ndarray, offsets: np.ndarray):
 
 
 def save_meta(store: MetaStore, path: str) -> None:
-    """Serialize a MetaStore (vectors + columns + config) to ``path``."""
+    """Serialize a MetaStore (vectors + columns + config) to ``path``.
+
+    Sorted stores are saved in ORIGINAL ingestion order (the sort is
+    re-applied on load); tombstoned deletions are preserved."""
     n = store.n_rows
     arrays = {}
     vectors = np.asarray(store._dv.vectors)[:n] if store._dv is not None else (
         np.zeros((0, store._dim), np.float32)
     )
+    deleted = (
+        ~np.asarray(store._dv.valid)[:n]
+        if store._dv is not None
+        else np.zeros(0, bool)
+    )
+    columns = store.columns()
+    if store._index_map is not None:
+        inv = np.empty(n, dtype=np.int64)
+        inv[store._index_map] = np.arange(n)
+        vectors = vectors[inv]
+        deleted = deleted[inv]
+        columns = store._orig_columns
     arrays["vectors"] = vectors
+    arrays["deleted"] = deleted
     schema = {}
-    for name, col in store.columns().items():
+    for name, col in columns.items():
         dt = col.dtype
         schema[name] = dt.value
         arrays[f"col_null::{name}"] = np.asarray(col.null_mask())[:n]
@@ -73,6 +89,8 @@ def save_meta(store: MetaStore, path: str) -> None:
         "bloom_kind": bloom_kind,
         "bloom_val": bloom_val,
         "schema": schema,
+        "sort_by": list(store._sort_by) if store._sort_by else None,
+        "storage_dtype": store._storage_dtype,
     }
     arrays["manifest"] = np.frombuffer(
         json.dumps(manifest).encode("utf-8"), dtype=np.uint8
@@ -108,7 +126,18 @@ def load_meta(path: str) -> MetaStore:
             builder = builder.with_bloom_fpr(manifest["bloom_val"])
         else:
             builder = builder.with_bloom_bits(int(manifest["bloom_val"]))
-        return builder.build()
+        if manifest.get("sort_by"):
+            sc, desc = manifest["sort_by"]
+            builder = builder.with_sort_by(sc, desc)
+        builder = builder.with_storage_dtype(
+            manifest.get("storage_dtype", "float32")
+        )
+        store = builder.build()
+        if "deleted" in z:
+            deleted = np.flatnonzero(np.asarray(z["deleted"]))
+            if deleted.size:
+                store.delete_rows(deleted)
+        return store
 
 
 def save_vec(store: VecStore, path: str) -> None:

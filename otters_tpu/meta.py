@@ -40,7 +40,15 @@ from .errors import ExprError, OttersError
 from .expr import ColumnFilter, CompiledFilter, Expr
 from .ops import bloom as bloom_ops
 from .ops import hashing, predicate, scoring, wide64
-from .types import Cmp, CmpOp, DataType, Metric, TakeType, default_take_type
+from .types import (
+    STRING_EXTENDED_OPS,
+    Cmp,
+    CmpOp,
+    DataType,
+    Metric,
+    TakeType,
+    default_take_type,
+)
 
 _I32 = np.iinfo(np.int32)
 _I64 = np.iinfo(np.int64)
@@ -127,6 +135,31 @@ def _pad_to(arr: np.ndarray, n_pad: int, fill) -> np.ndarray:
 
 def _chunk_offsets(n: int, c: int) -> np.ndarray:
     return np.arange(0, n, c, dtype=np.int64)
+
+
+def _sort_permutation(col: Column, n: int, descending: bool) -> np.ndarray:
+    """Stable permutation ordering rows by a column, nulls always last."""
+    nulls = np.asarray(col.null_mask(), dtype=bool)[:n]
+    idx_nn = np.flatnonzero(~nulls)
+    if col.dtype is DataType.String:
+        vals = np.asarray(list(col.values())[:n], dtype=object)
+    else:
+        vals = np.asarray(col.values())[:n]
+    sub = idx_nn[np.argsort(vals[idx_nn], kind="stable")]
+    if descending:
+        sub = sub[::-1]
+    return np.concatenate([sub, np.flatnonzero(nulls)]).astype(np.int64)
+
+
+def _permute_column(col: Column, perm: np.ndarray) -> Column:
+    new = Column(col.name, col.dtype)
+    nulls = np.asarray(col.null_mask(), dtype=bool)[perm]
+    if col.dtype is DataType.String:
+        vals = col.values()
+        new._set_raw([vals[i] for i in perm], nulls)
+    else:
+        new._set_raw(np.asarray(col.values())[perm], nulls)
+    return new
 
 
 def _build_device_column(
@@ -354,6 +387,7 @@ class MetaStoreBuilder:
         self._vectors_n = None
         self._chunk_size = 1024
         self._bloom: Tuple[str, float] = ("fpr", 0.01)
+        self._sort_by = None
         self._storage_dtype = "float32"
 
     def with_vectors(self, vectors, n_rows=None) -> "MetaStoreBuilder":
@@ -368,6 +402,14 @@ class MetaStoreBuilder:
 
     def with_chunk_size(self, chunk_size: int) -> "MetaStoreBuilder":
         self._chunk_size = max(1, int(chunk_size))
+        return self
+
+    def with_sort_by(self, column: str, descending: bool = False) -> "MetaStoreBuilder":
+        """Cluster rows by a column before chunking (the reference's
+        roadmap "Z-ordering" item): zonemap pruning only bites when rows
+        are clustered by common filter columns. Result indices still refer
+        to the ORIGINAL ingestion order."""
+        self._sort_by = (column, bool(descending))
         return self
 
     def with_storage_dtype(self, dtype: str) -> "MetaStoreBuilder":
@@ -450,6 +492,31 @@ class MetaStoreBuilder:
 
         build_start = time.perf_counter()
 
+        index_map = None
+        orig_columns = None
+        if self._sort_by is not None:
+            sort_col, desc = self._sort_by
+            if sort_col not in self._schema:
+                raise OttersError(
+                    f"unknown column '{sort_col}' not present in schema"
+                )
+            perm = _sort_permutation(self._columns[sort_col], n_rows, desc)
+            orig_columns = self._columns
+            self._columns = {
+                name: _permute_column(c, perm)
+                for name, c in self._columns.items()
+            }
+            if from_device:
+                import jax.numpy as _j
+
+                perm_full = np.concatenate(
+                    [perm, np.arange(n_rows, int(vectors.shape[0]))]
+                )
+                vectors = _j.take(vectors, _j.asarray(perm_full), axis=0)
+            else:
+                vectors = vectors[perm]
+            index_map = perm  # new position -> original row id
+
         # vector ingest: host -> HBM + on-device norm computation
         ingest_start = time.perf_counter()
         import jax.numpy as _jnp
@@ -500,6 +567,10 @@ class MetaStoreBuilder:
 
         store._chunk_lens = jnp.asarray(chunk_lens)
         store._bloom_config = self._bloom
+        store._index_map = index_map
+        store._orig_columns = orig_columns
+        store._sort_by = self._sort_by
+        store._storage_dtype = self._storage_dtype
         store._build_stats = MetaBuildStats(
             n_rows=n_rows,
             dim=dim,
@@ -531,6 +602,12 @@ class MetaStore:
         self._col_reprs: Dict[str, str] = {}
         self._bloom_params: Dict[str, bloom_ops.BloomParams] = {}
         self._chunk_lens = None
+        self._index_map = None  # set when built with with_sort_by
+        self._orig_columns = None
+        self._sort_by = None
+        self._storage_dtype = "float32"
+        self._n_deleted = 0
+        self._hostmask_cache: Dict = {}
         self._bloom_config = ("fpr", 0.01)
         self._build_stats: Optional[MetaBuildStats] = None
         self._last_stats: Optional[MetaQueryStats] = None
@@ -570,13 +647,94 @@ class MetaStore:
         return self._n_rows
 
     def __len__(self) -> int:
-        return self._n_rows
+        return self._n_rows - self._n_deleted
 
     def last_query_stats(self) -> Optional[MetaQueryStats]:
         return self._last_stats
 
     def build_stats(self) -> Optional[MetaBuildStats]:
         return self._build_stats
+
+    # -- mutability (reference roadmap: "add/remove rows after build") -------
+    def delete_rows(self, indices) -> None:
+        """Tombstone rows in place: deleted rows are never returned.
+
+        O(deleted) device update; zonemaps stay conservative (a chunk whose
+        only matching rows were deleted may still be evaluated, but its rows
+        are excluded by the validity mask). ``append`` compacts tombstones.
+        """
+        import jax.numpy as jnp
+
+        idx = np.asarray(list(indices), dtype=np.int64)
+        if idx.size == 0:
+            return
+        if idx.min() < 0 or idx.max() >= self._n_rows:
+            raise OttersError(
+                f"delete index out of range 0..{self._n_rows - 1}"
+            )
+        if self._index_map is not None:
+            inv = np.empty(self._n_rows, dtype=np.int64)
+            inv[self._index_map] = np.arange(self._n_rows)
+            idx = inv[idx]  # original ids -> current positions
+        valid = np.asarray(self._dv.valid).copy()
+        newly = int(valid[idx].sum())
+        valid[idx] = False
+        self._dv = self._dv._replace(valid=jnp.asarray(valid))
+        self._n_deleted += newly
+
+    def append(self, vectors, column_values: Dict[str, list]) -> "MetaStore":
+        """Return a NEW store with rows appended (tombstones compacted).
+
+        Rebuilds chunking/zonemaps/Bloom with the same configuration; row
+        ids in the new store are fresh (0..n-1 over surviving + new rows).
+        """
+        n = self._n_rows
+        old_vecs = np.asarray(self._dv.vectors)[:n]
+        valid = np.asarray(self._dv.valid)[:n]
+        src_cols = (
+            self._orig_columns if self._orig_columns is not None else self._columns
+        )
+        if self._index_map is not None:
+            # device arrays are in sorted order; restore original order
+            inv_order = np.empty(n, dtype=np.int64)
+            inv_order[self._index_map] = np.arange(n)
+            old_vecs = old_vecs[inv_order]
+            valid = valid[inv_order]
+        keep = np.flatnonzero(valid)
+        new_vecs = np.asarray(vectors, dtype=np.float32)
+        if new_vecs.ndim != 2 or (n and new_vecs.shape[1] != self._dim):
+            raise OttersError(
+                f"appended vectors must be [m, {self._dim}]"
+            )
+        m = new_vecs.shape[0]
+        cols = []
+        for name, dt in self._schema.items():
+            src = src_cols[name]
+            vals_new = column_values.get(name)
+            if vals_new is None or len(vals_new) != m:
+                raise OttersError(
+                    f"column '{name}' needs {m} appended values"
+                )
+            kept = _permute_column(src, keep)
+            for v in vals_new:
+                kept.push(v)
+            cols.append(kept)
+        builder = (
+            MetaStore.from_columns(cols)
+            .with_vectors(np.concatenate([old_vecs[keep], new_vecs], axis=0))
+            .with_chunk_size(self._chunk_size)
+        )
+        kind, val = self._bloom_config
+        builder = (
+            builder.with_bloom_fpr(val) if kind == "fpr"
+            else builder.with_bloom_bits(int(val))
+        )
+        if self._sort_by is not None:
+            builder = builder.with_sort_by(self._sort_by[0], self._sort_by[1])
+        builder = builder.with_storage_dtype(self._storage_dtype)
+        new = builder.build()
+        new.precision = self.precision
+        return new
 
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
@@ -613,6 +771,44 @@ class MetaStore:
     def print_last_stats(self) -> None:
         self.print_build_stats()
         self.print_last_query_stats()
+
+    def _hostmask_for(self, leaf):
+        """Row/chunk masks for extended string predicates (contains /
+        starts_with / ends_with). Strings live host-side only, so these are
+        evaluated once on the host, cached per (column, op, literal), and
+        fed to the device program as mask tensors — including an exact
+        per-chunk any() so pruning still works."""
+        import jax.numpy as jnp
+
+        key = (leaf.column, leaf.cmp, leaf.rhs)
+        cached = self._hostmask_cache.get(key)
+        if cached is not None:
+            return cached
+        colo = self.columns()[leaf.column]
+        n = self._n_rows
+        nulls = np.asarray(colo.null_mask(), dtype=bool)[:n]
+        vals = colo.values()
+        rhs = leaf.rhs
+        if leaf.cmp is CmpOp.Contains:
+            pred = lambda v: rhs in v  # noqa: E731
+        elif leaf.cmp is CmpOp.StartsWith:
+            pred = lambda v: v.startswith(rhs)  # noqa: E731
+        else:
+            pred = lambda v: v.endswith(rhs)  # noqa: E731
+        m = np.fromiter(
+            (not nulls[i] and pred(vals[i]) for i in range(n)), bool, count=n
+        )
+        n_pad = self._dv.vectors.shape[0]
+        row = np.zeros(n_pad, dtype=bool)
+        row[:n] = m
+        offs = _chunk_offsets(n, self._chunk_size)
+        chunk_any = (
+            np.logical_or.reduceat(m, offs) if n else np.zeros(0, bool)
+        )
+        cached = (jnp.asarray(row), jnp.asarray(chunk_any))
+        if len(self._hostmask_cache) < 128:
+            self._hostmask_cache[key] = cached
+        return cached
 
     # -- device program hook (overridden by ShardedMetaStore) ----------------
     def _run_query_program(
@@ -709,6 +905,8 @@ class MetaQueryPlan:
         dtype = store.schema()[leaf.column]
         import jax.numpy as jnp
 
+        if leaf.kind == "string" and leaf.cmp in STRING_EXTENDED_OPS:
+            return ("hostmask", leaf.column, leaf.cmp), store._hostmask_for(leaf)
         if leaf.kind == "string":
             g1, _ = hashing.hash_string(leaf.rhs)
             rh_hi = np.uint32(g1 >> 32)
@@ -770,9 +968,7 @@ class MetaQueryPlan:
                     continue
                 v = c.values()[i]
                 if leaf.kind == "string":
-                    sat = (v == leaf.rhs) if leaf.cmp is CmpOp.Eq else (
-                        v != leaf.rhs if leaf.cmp is CmpOp.Neq else False
-                    )
+                    sat = _str_cmp(v, leaf.rhs, leaf.cmp)
                 else:
                     # .item() yields exact Python scalars; int/float compares
                     # in Python are exact (no 64-bit precision loss)
@@ -802,6 +998,12 @@ class MetaQueryPlan:
                         m = vals == leaf.rhs
                     elif leaf.cmp is CmpOp.Neq:
                         m = vals != leaf.rhs
+                    elif leaf.cmp in STRING_EXTENDED_OPS:
+                        m = np.fromiter(
+                            (_str_cmp(v, leaf.rhs, leaf.cmp) for v in vals),
+                            bool,
+                            count=n,
+                        )
                     else:
                         m = np.zeros(n, dtype=bool)
                 else:
@@ -1024,6 +1226,9 @@ class PendingMetaQuery:
             merge_duration=merge_dur,
             total_duration=time.perf_counter() - self._total_start,
         )
+        if store._index_map is not None:
+            # sorted store: report ORIGINAL ingestion-order row ids
+            indices = [int(store._index_map[i]) for i in indices]
         self._result = MetaQueryResults(col_names, data, indices, scores)
         return self._result
 
@@ -1041,6 +1246,20 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
     for p, f in zip(todo, fetched):
         p._fetched = tuple(f)
     return [p.result() for p in pendings]
+
+
+def _str_cmp(v: str, rhs: str, cmp: CmpOp) -> bool:
+    if cmp is CmpOp.Eq:
+        return v == rhs
+    if cmp is CmpOp.Neq:
+        return v != rhs
+    if cmp is CmpOp.Contains:
+        return rhs in v
+    if cmp is CmpOp.StartsWith:
+        return v.startswith(rhs)
+    if cmp is CmpOp.EndsWith:
+        return v.endswith(rhs)
+    return False
 
 
 def _num_cmp(v: float, t: float, cmp: CmpOp) -> bool:

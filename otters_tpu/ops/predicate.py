@@ -80,6 +80,9 @@ def _leaf_row_mask(leaf, params, cols):
         if cmp is CmpOp.Neq:
             return not_null
         return jnp.zeros_like(not_null)
+    if rep == "hostmask":
+        # extended string predicate, evaluated host-side (nulls excluded)
+        return params[0]
     # string: identity-hash compare (two uint32 halves = one 64-bit compare)
     rh_hi, rh_lo, _, _ = params
     eq = (c["rh_hi"] == rh_hi) & (c["rh_lo"] == rh_lo)
@@ -100,6 +103,8 @@ def _leaf_chunk_mask(leaf, params, cols):
         if cmp is CmpOp.Neq:
             return has_values
         return jnp.zeros_like(has_values)
+    if rep == "hostmask":
+        return params[1]  # exact per-chunk any(), computed host-side
     if rep == "str":
         if cmp is CmpOp.Eq:
             _, _, words, masks = params

@@ -251,6 +251,15 @@ class ShardedMetaStore(MetaStore):
         qv = jax.device_put(
             np.arange(b_pad) < b, NamedSharding(self.mesh, P("batch"))
         )
+        from ..errors import OttersError
+
+        for clause in plan_static:
+            for leaf in clause:
+                if leaf[0] == "hostmask":
+                    raise OttersError(
+                        "extended string predicates (contains/starts_with/"
+                        "ends_with) are not yet supported on sharded stores"
+                    )
         rows, scores, ok, ev, re_ = _sharded_meta_query(
             self._dv,
             cols_sub,

@@ -94,7 +94,11 @@ class Cmp(enum.Enum):
 
 
 class CmpOp(enum.Enum):
-    """Metadata predicate comparator (expression DSL)."""
+    """Metadata predicate comparator (expression DSL).
+
+    Contains / StartsWith / EndsWith extend the reference (its roadmap item
+    "more string filters"); they apply to String columns only.
+    """
 
     Eq = "Eq"
     Neq = "Neq"
@@ -102,6 +106,12 @@ class CmpOp(enum.Enum):
     Lte = "Lte"
     Gt = "Gt"
     Gte = "Gte"
+    Contains = "Contains"
+    StartsWith = "StartsWith"
+    EndsWith = "EndsWith"
+
+
+STRING_EXTENDED_OPS = (CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith)
 
 
 def default_take_type(metric: Metric) -> TakeType:

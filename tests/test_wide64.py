@@ -44,7 +44,10 @@ F64_EDGE = [
 ]
 
 
-@pytest.mark.parametrize("cmp", list(CmpOp))
+@pytest.mark.parametrize(
+    "cmp",
+    [CmpOp.Eq, CmpOp.Neq, CmpOp.Lt, CmpOp.Lte, CmpOp.Gt, CmpOp.Gte],
+)
 def test_i64_pair_cmp_matches_int64(cmp):
     vals = np.array(I64_EDGE, dtype=np.int64)
     thrs = np.array(I64_EDGE, dtype=np.int64)
@@ -67,7 +70,10 @@ def test_i64_pair_cmp_matches_int64(cmp):
         np.testing.assert_array_equal(got, expected, err_msg=f"t={t} cmp={cmp}")
 
 
-@pytest.mark.parametrize("cmp", list(CmpOp))
+@pytest.mark.parametrize(
+    "cmp",
+    [CmpOp.Eq, CmpOp.Neq, CmpOp.Lt, CmpOp.Lte, CmpOp.Gt, CmpOp.Gte],
+)
 def test_f64_pair_cmp_matches_float64(cmp):
     vals = np.array(F64_EDGE, dtype=np.float64)
     vhi, vlo = wide64.split_f64(vals)
