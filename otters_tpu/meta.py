@@ -823,7 +823,7 @@ class MetaStore:
         k_eff = min(k, b * n_pad)
         tile = scoring.choose_mode(n_pad, b, k_eff)
         fast = False
-        if tile == "panel":
+        if tile == "panel" and metric is not Metric.Manhattan:
             from .ops import pallas_topk as pk
 
             if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):

@@ -140,6 +140,8 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
     euclid   = ||q||^2 + ||v||^2 - 2 q . v     (squared, vec_compute.rs:35-54)
     dot      = q . v
     """
+    if metric is Metric.Manhattan:
+        return _manhattan_scores(queries, vecs)
     dots = jnp.matmul(
         queries,
         vecs.T,
@@ -151,6 +153,21 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
     if metric is Metric.Cosine:
         return dots * q_inv[:, None] * v_inv[None, :]
     return q_sq[:, None] + v_sq[None, :] - 2.0 * dots
+
+
+def _manhattan_scores(queries, vecs):
+    """L1 distances [B, T] on the VPU, row-paneled to bound the [B, P, D]
+    broadcast at ~256 MB."""
+    b, d = queries.shape
+    n = vecs.shape[0]
+    panel = max(8, min(n, (1 << 26) // max(1, b * d)))
+    outs = []
+    for off in range(0, n, panel):
+        v = vecs[off : off + panel].astype(jnp.float32)
+        outs.append(
+            jnp.sum(jnp.abs(queries[:, None, :] - v[None, :, :]), axis=-1)
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _filter_ok(scores, thr, cmp: Optional[Cmp]):
@@ -617,7 +634,7 @@ def run_vec_topk(
     mode = choose_mode(n_pad, b, k_eff)
     args = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm, thr_arr)
     kwargs = dict(metric=metric, k=k_eff, take_min=take_min, cmp=cmp_eff, prec=prec)
-    if mode == "panel":
+    if mode == "panel" and metric is not Metric.Manhattan:
         # upgrade to the fused Pallas kernel on TPU (skips nothing here but
         # never materializes the score matrix)
         from . import pallas_topk as pk

@@ -76,6 +76,10 @@ class Metric(enum.Enum):
     Cosine = "Cosine"
     Euclidean = "Euclidean"  # squared euclidean, like the reference
     DotProduct = "DotProduct"
+    # Beyond the reference (its "More Metrics" roadmap item). L1 has no
+    # matmul form, so it runs on the VPU: supported and exact, but slower
+    # than the MXU metrics at scale.
+    Manhattan = "Manhattan"
 
 
 class TakeType(enum.Enum):
@@ -115,8 +119,10 @@ STRING_EXTENDED_OPS = (CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith)
 
 
 def default_take_type(metric: Metric) -> TakeType:
-    """Euclidean -> Min, Cosine/DotProduct -> Max (vec.rs:93-98)."""
-    return TakeType.Min if metric is Metric.Euclidean else TakeType.Max
+    """Distances -> Min, similarities -> Max (vec.rs:93-98)."""
+    if metric in (Metric.Euclidean, Metric.Manhattan):
+        return TakeType.Min
+    return TakeType.Max
 
 
 @dataclass(frozen=True)
