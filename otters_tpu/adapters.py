@@ -64,12 +64,11 @@ def column_from_series(series, name: str = None) -> Column:
         return col
     np_dtype = dt.numpy_dtype
     if nulls.any():
-        filled = series.astype("float64").to_numpy(na_value=np.nan)
         if dt in (DataType.Int32, DataType.Int64):
-            vals = np.where(nulls, dt.sentinel, np.nan_to_num(filled)).astype(
-                np_dtype
-            )
+            # exact: never route int64 through float64 (2^53 precision cliff)
+            vals = series.to_numpy(dtype=np_dtype, na_value=dt.sentinel)
         else:
+            filled = series.astype("float64").to_numpy(na_value=np.nan)
             vals = np.where(nulls, dt.sentinel, filled).astype(np_dtype)
     else:
         vals = series.to_numpy(dtype=np_dtype)

@@ -54,6 +54,9 @@ def save_meta(store: MetaStore, path: str) -> None:
     vectors = np.asarray(store._dv.vectors)[:n] if store._dv is not None else (
         np.zeros((0, store._dim), np.float32)
     )
+    if vectors.dtype != np.float32:
+        # bfloat16 storage: upcast (exact) — npz cannot round-trip ml_dtypes
+        vectors = vectors.astype(np.float32)
     deleted = (
         ~np.asarray(store._dv.valid)[:n]
         if store._dv is not None

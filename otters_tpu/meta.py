@@ -20,9 +20,12 @@ top-k. The per-chunk rayon fork-join (meta.rs:678-691) is replaced by the
 XLA grid within a device and mesh sharding across devices (otters_tpu.parallel).
 
 Exactness: string equality evaluates by 64-bit hash on device and the k
-returned rows are re-verified host-side against the actual strings; on a hash
-collision (p ~ 2^-64) the query transparently re-runs with an exact
-host-computed row mask.
+returned rows are re-verified host-side against the actual strings; a hash
+collision that falsely INCLUDES a row (p ~ 2^-64) is detected and the query
+transparently re-runs with an exact host-computed row mask. The dual case —
+a collision falsely EXCLUDING a row from an Eq match or wrongly satisfying a
+Neq — is not detectable from the returned rows and is accepted at the same
+2^-64 odds (see hashing.py).
 """
 
 from __future__ import annotations
@@ -665,7 +668,7 @@ class MetaStore:
         """
         import jax.numpy as jnp
 
-        idx = np.asarray(list(indices), dtype=np.int64)
+        idx = np.unique(np.asarray(list(indices), dtype=np.int64))
         if idx.size == 0:
             return
         if idx.min() < 0 or idx.max() >= self._n_rows:

@@ -244,7 +244,10 @@ def pallas_topk(
     last = jnp.searchsorted(cs, jnp.maximum(n_surv, 1), side="left").astype(
         jnp.int32
     )
-    surv = jnp.where(g < n_surv, surv_raw, last)
+    # clamp: with n_surv == 0 searchsorted returns n_tiles, which would make
+    # the BlockSpec index_map DMA out of bounds; every step is dead then, so
+    # tile 0 is fetched (and ignored) instead
+    surv = jnp.clip(jnp.where(g < n_surv, surv_raw, last), 0, n_tiles - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -325,6 +328,9 @@ def pallas_topk(
     ok = valid[rows]
     if row_mask is not None:
         ok = ok & row_mask[rows]
+    # slots from dead grid steps alias the last alive tile through surv;
+    # without this guard they could re-contribute (duplicate) its rows
+    ok = ok & (gsel < n_surv)[:, None]
     ok = ok & (qsel[:, None] < b) & ~jnp.isnan(scores)
     if cmp is not None:
         ok = ok & _filter_ok(scores, thr, cmp)

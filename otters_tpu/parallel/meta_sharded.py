@@ -180,6 +180,12 @@ class ShardedMetaStore(MetaStore):
         out._col_reprs = store._col_reprs
         out._build_stats = store._build_stats
         out.precision = store.precision
+        out._index_map = store._index_map
+        out._orig_columns = store._orig_columns
+        out._sort_by = store._sort_by
+        out._n_deleted = store._n_deleted
+        out._bloom_config = store._bloom_config
+        out._storage_dtype = store._storage_dtype
 
         # re-pad rows and chunks so both axes split evenly across shards
         dv = store._dv

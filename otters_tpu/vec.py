@@ -240,6 +240,10 @@ class VecQueryPlan:
         assert store is not None and self._queries is not None
         metric = self._metric
         k = self._take_count if self._take_count is not None else len(store)
+        # NOTE: unlike the meta path, a plan whose take_type was never set
+        # defaults to Max even for Euclidean — matching the reference
+        # exactly (vec.rs:214 `unwrap_or(&TakeType::Max)`; take() infers
+        # from the metric, bare collect() does not)
         take_type = self._take_type or TakeType.Max
 
         if len(store) == 0 or k <= 0 or self._queries.shape[0] == 0:

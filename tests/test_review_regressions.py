@@ -1,0 +1,150 @@
+"""Regression tests for code-review findings."""
+
+import numpy as np
+import jax.numpy as jnp
+import pandas as pd
+import pytest
+
+from otters_tpu import Column, DataType, Metric, MetaStore, col
+from otters_tpu.adapters import column_from_series
+from otters_tpu.ops import pallas_topk as pk
+from otters_tpu.ops import scoring
+from otters_tpu.parallel import ShardedMetaStore, make_mesh
+from otters_tpu.types import Cmp
+
+
+def test_pallas_all_tiles_pruned_no_oob():
+    """All-dead tile_alive must not index out of bounds (returns nothing)."""
+    rng = np.random.default_rng(81)
+    n, d = 16384, 128
+    dv = scoring.materialize(rng.normal(size=(n, d)).astype(np.float32))
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(d, n_pad)
+    alive = jnp.zeros(n_pad // t, dtype=bool)
+    row_mask = jnp.zeros(n_pad, dtype=bool)  # soundness contract
+    rows, scores, ok, check = pk.pallas_topk(
+        dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+        jnp.asarray(rng.normal(size=(2, d)).astype(np.float32)),
+        row_mask, jnp.float32(0.0), alive,
+        metric=Metric.DotProduct, k=5, take_min=False, cmp=None,
+        interpret=True,
+    )
+    assert not np.asarray(ok).any()
+
+
+def test_pallas_dead_slots_no_duplicate_rows():
+    """k exceeding the alive candidate bins must not duplicate rows from the
+    last alive tile (dead grid slots alias it through the survivor list)."""
+    rng = np.random.default_rng(82)
+    n, d, k = 16384, 128, 20
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    dv = scoring.materialize(vectors)
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(d, n_pad)
+    n_tiles = n_pad // t
+    alive = jnp.asarray(np.arange(n_tiles) == 0)  # one alive tile
+    row_mask = np.zeros(n_pad, dtype=bool)
+    row_mask[:t] = True
+    rows, scores, ok, check = pk.pallas_topk(
+        dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+        jnp.asarray(rng.normal(size=(1, d)).astype(np.float32)),
+        jnp.asarray(row_mask), jnp.float32(0.0), alive,
+        metric=Metric.DotProduct, k=k, take_min=False, cmp=None,
+        interpret=True,
+    )
+    rows, ok = np.asarray(rows), np.asarray(ok)
+    got = rows[ok].tolist()
+    assert len(got) == len(set(got)), "duplicate rows returned"
+
+
+def test_delete_rows_duplicate_indices_counted_once():
+    rng = np.random.default_rng(83)
+    store = MetaStore.from_columns([]).with_vectors(
+        rng.normal(size=(10, 4)).astype(np.float32)
+    ).build()
+    store.delete_rows([3, 3, 3])
+    assert len(store) == 9
+    store.delete_rows([3, 4])
+    assert len(store) == 8
+
+
+def test_sharded_sorted_store_reports_original_ids():
+    rng = np.random.default_rng(84)
+    n, d = 2000, 16
+    price = rng.permutation(n).astype(np.float64)
+    cols = [Column("price", DataType.Float64).from_values(list(price))]
+    local = (
+        MetaStore.from_columns(cols)
+        .with_vectors(rng.normal(size=(n, d)).astype(np.float32))
+        .with_chunk_size(256)
+        .with_sort_by("price")
+        .build()
+    )
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = ShardedMetaStore.shard(local, mesh)
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    a = local.query_batch(q, Metric.Cosine).meta_filter(col("price").lt(300.0)).take(8).collect()
+    b = sharded.query_batch(q, Metric.Cosine).meta_filter(col("price").lt(300.0)).take(8).collect()
+    assert a.indices == b.indices
+    assert all(price[i] < 300.0 for i in b.indices)
+    # tombstone state also carried
+    local2 = (
+        MetaStore.from_columns(
+            [Column("price", DataType.Float64).from_values(list(price))]
+        )
+        .with_vectors(rng.normal(size=(n, d)).astype(np.float32))
+        .build()
+    )
+    local2.delete_rows([0, 1])
+    sh2 = ShardedMetaStore.shard(local2, mesh)
+    assert len(sh2) == n - 2
+
+
+def test_bf16_store_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(85)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(rng.normal(size=(300, 8)).astype(np.float32))
+        .with_storage_dtype("bfloat16")
+        .build()
+    )
+    path = str(tmp_path / "bf16.npz")
+    store.save(path)
+    loaded = MetaStore.load(path)
+    q = rng.normal(size=8).astype(np.float32)
+    a = store.query(q, Metric.DotProduct).take(5).collect()
+    b = loaded.query(q, Metric.DotProduct).take(5).collect()
+    assert a.indices == b.indices
+    assert a.scores == b.scores
+
+
+def test_adapter_nullable_int64_exact_above_2_53():
+    big = 2**62 + 1
+    s = pd.Series([big, pd.NA, 7], dtype="Int64")
+    c = column_from_series(s, "id")
+    assert int(c.i64_values()[0]) == big  # no float64 round-trip corruption
+    rng = np.random.default_rng(86)
+    store = (
+        MetaStore.from_columns([c])
+        .with_vectors(rng.normal(size=(3, 4)).astype(np.float32))
+        .build()
+    )
+    r = (
+        store.query(np.ones(4, np.float32), Metric.Cosine)
+        .meta_filter(col("id").eq(big))
+        .take(3)
+        .collect()
+    )
+    assert r.indices == [0]
+
+
+def test_vec_default_take_type_is_max_like_reference():
+    """vec.rs:214: bare collect() without take() defaults to Max even for
+    Euclidean (intentional reference parity; meta path differs)."""
+    from otters_tpu import VecStore
+
+    store = VecStore(2)
+    store.add_vectors([[0.0, 0.0], [3.0, 4.0]])
+    r = store.query([0.0, 0.0], Metric.Euclidean).filter(100.0, Cmp.Lt).collect()
+    # Max ordering: farthest first
+    assert [x.index for x in r] == [1, 0]
