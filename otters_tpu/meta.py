@@ -610,6 +610,7 @@ class MetaStore:
         self._sort_by = None
         self._storage_dtype = "float32"
         self._n_deleted = 0
+        self._plan_cache: Dict = {}
         self._hostmask_cache: Dict = {}
         self._bloom_config = ("fpr", 0.01)
         self._build_stats: Optional[MetaBuildStats] = None
@@ -944,6 +945,12 @@ class MetaQueryPlan:
 
     def _lower_plan(self):
         assert self._meta_filter is not None
+        # lowered plans (device threshold scalars included) are reusable
+        # across queries with the same filter; cache per store
+        cache_key = self._meta_filter.clauses
+        cached = self._store._plan_cache.get(cache_key)
+        if cached is not None:
+            return cached
         static_clauses = []
         param_clauses = []
         used_cols = set()
@@ -956,7 +963,10 @@ class MetaQueryPlan:
                 used_cols.add(leaf.column)
             static_clauses.append(tuple(st))
             param_clauses.append(tuple(pr))
-        return tuple(static_clauses), tuple(param_clauses), used_cols
+        result = (tuple(static_clauses), tuple(param_clauses), used_cols)
+        if len(self._store._plan_cache) < 256:
+            self._store._plan_cache[cache_key] = result
+        return result
 
     # -- host-exact fallbacks ---------------------------------------------------
     def _row_satisfies(self, i: int) -> bool:
