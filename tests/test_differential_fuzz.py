@@ -1,0 +1,208 @@
+"""Differential fuzzing: random stores + random filters vs a numpy oracle.
+
+The oracle is an independent reimplementation of the reference semantics
+(exact scoring, CNF row filtering with null exclusion, global merged top-k),
+written directly in numpy. Any divergence in surviving row sets or scores is
+a correctness bug in the device engine.
+"""
+
+import numpy as np
+import pytest
+
+from otters_tpu import Cmp, Column, DataType, Metric, MetaStore, col
+from otters_tpu.expr import Expr
+from otters_tpu.types import CmpOp
+
+RNG = np.random.default_rng(20260816)
+
+DTYPES = [
+    DataType.Int32,
+    DataType.Int64,
+    DataType.Float32,
+    DataType.Float64,
+    DataType.String,
+    DataType.DateTime,
+]
+
+
+def _random_column(name: str, dt: DataType, n: int, rng) -> tuple:
+    """-> (Column, raw values list with None for nulls)."""
+    null_p = rng.uniform(0, 0.3)
+    nulls = rng.uniform(size=n) < null_p
+    if dt is DataType.Int32:
+        vals = rng.integers(-50, 50, n)
+    elif dt is DataType.Int64:
+        vals = rng.integers(-(2**40), 2**40, n)
+    elif dt is DataType.Float32:
+        vals = rng.normal(0, 10, n).astype(np.float32)
+    elif dt is DataType.Float64:
+        vals = rng.normal(0, 10, n)
+    elif dt is DataType.String:
+        vals = rng.choice([f"s{i}" for i in range(8)], n)
+    else:  # DateTime: days in 2024
+        vals = rng.integers(0, 300, n)
+    raw = []
+    for i in range(n):
+        if nulls[i]:
+            raw.append(None)
+        elif dt is DataType.String:
+            raw.append(str(vals[i]))
+        elif dt is DataType.DateTime:
+            raw.append(1704067200000 + int(vals[i]) * 86400_000)  # 2024-01-01 + d
+        elif dt in (DataType.Float32, DataType.Float64):
+            raw.append(float(vals[i]))
+        else:
+            raw.append(int(vals[i]))
+    return Column(name, dt).from_values(raw), raw
+
+
+def _random_leaf(name: str, dt: DataType, raw, rng) -> Expr:
+    c = col(name)
+    non_null = [v for v in raw if v is not None]
+    if dt is DataType.String:
+        target = rng.choice(non_null) if non_null else "s0"
+        return c.eq(str(target)) if rng.random() < 0.5 else c.neq(str(target))
+    op = rng.choice(["eq", "neq", "lt", "lte", "gt", "gte"])
+    if dt is DataType.DateTime:
+        ms = int(rng.choice(non_null)) if non_null else 1704067200000
+        import datetime
+
+        s = datetime.datetime.fromtimestamp(
+            ms / 1000, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        return getattr(c, op)(s)
+    if dt in (DataType.Int32, DataType.Int64):
+        v = int(rng.choice(non_null)) if non_null else 0
+        return getattr(c, op)(v)
+    v = float(rng.choice(non_null)) if non_null else 0.0
+    return getattr(c, op)(v)
+
+
+def _oracle_leaf_mask(dt: DataType, raw, leaf_cmp: CmpOp, rhs) -> np.ndarray:
+    n = len(raw)
+    out = np.zeros(n, dtype=bool)
+    for i, v in enumerate(raw):
+        if v is None:
+            continue
+        if dt is DataType.String:
+            out[i] = (v == rhs) if leaf_cmp is CmpOp.Eq else (v != rhs)
+        else:
+            out[i] = {
+                CmpOp.Eq: v == rhs,
+                CmpOp.Neq: v != rhs,
+                CmpOp.Lt: v < rhs,
+                CmpOp.Lte: v <= rhs,
+                CmpOp.Gt: v > rhs,
+                CmpOp.Gte: v >= rhs,
+            }[leaf_cmp]
+    return out
+
+
+def _oracle(vectors, queries, metric, compiled, raw_cols, schema, k, thr, cmp):
+    n = len(vectors)
+    mask = np.ones(n, dtype=bool)
+    for clause in compiled.clauses:
+        cm = np.zeros(n, dtype=bool)
+        for lf in clause:
+            cm |= _oracle_leaf_mask(
+                schema[lf.column], raw_cols[lf.column], lf.cmp, lf.rhs
+            )
+        mask &= cm
+    if metric is Metric.DotProduct:
+        s = queries @ vectors.T
+        take_min = False
+    elif metric is Metric.Cosine:
+        qi = np.linalg.norm(queries, axis=1)
+        qi = np.where(qi != 0, 1.0 / qi, 0.0)
+        vi = np.linalg.norm(vectors, axis=1)
+        vi = np.where(vi != 0, 1.0 / vi, 0.0)
+        s = (queries @ vectors.T) * qi[:, None] * vi[None, :]
+        take_min = False
+    else:
+        s = (
+            (queries**2).sum(1)[:, None]
+            + (vectors**2).sum(1)[None, :]
+            - 2 * queries @ vectors.T
+        )
+        take_min = True
+    ok = np.broadcast_to(mask[None, :], s.shape).copy()
+    if thr is not None:
+        ok &= {
+            Cmp.Gt: s > thr,
+            Cmp.Lt: s < thr,
+            Cmp.Gte: s >= thr,
+            Cmp.Lte: s <= thr,
+        }[cmp]
+    vals = s[ok]
+    order = np.sort(vals)
+    return (order[:k] if take_min else order[::-1][:k]), mask
+
+
+@pytest.mark.parametrize("trial", range(40))
+def test_random_store_random_filter_matches_oracle(trial):
+    rng = np.random.default_rng(1000 + trial)
+    n = int(rng.integers(50, 800))
+    d = int(rng.integers(4, 48))
+    chunk = int(rng.choice([16, 64, 256, 1024]))
+    n_cols = int(rng.integers(1, 4))
+
+    cols, raws, schema = [], {}, {}
+    for ci in range(n_cols):
+        dt = DTYPES[rng.integers(0, len(DTYPES))]
+        name = f"c{ci}"
+        c, raw = _random_column(name, dt, n, rng)
+        cols.append(c)
+        raws[name] = raw
+        schema[name] = dt
+
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    store = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(chunk)
+        .build()
+    )
+
+    # random CNF expression over 1-3 leaves
+    leaves = [
+        _random_leaf(name, schema[name], raws[name], rng)
+        for name in rng.choice(list(schema), size=rng.integers(1, 4))
+    ]
+    expr = leaves[0]
+    for e in leaves[1:]:
+        expr = (expr & e) if rng.random() < 0.5 else (expr | e)
+
+    metric = [Metric.Cosine, Metric.DotProduct, Metric.Euclidean][
+        rng.integers(0, 3)
+    ]
+    b = int(rng.integers(1, 4))
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    k = int(rng.integers(1, 30))
+    use_vf = rng.random() < 0.4
+    thr = float(rng.normal(0, 5)) if use_vf else None
+    vcmp = Cmp.Gt if (metric is not Metric.Euclidean) else Cmp.Lt
+
+    plan = store.query_batch(queries, metric).meta_filter(expr).take(k)
+    if use_vf:
+        plan = plan.vec_filter(thr, vcmp)
+    got = plan.collect()
+
+    compiled = expr.compile(store.schema())
+    want_scores, row_mask = _oracle(
+        vectors, queries, metric, compiled, raws, schema, k,
+        thr if use_vf else None, vcmp,
+    )
+
+    assert len(got) == len(want_scores), (
+        f"trial {trial}: count {len(got)} vs oracle {len(want_scores)}"
+    )
+    np.testing.assert_allclose(
+        got.scores, want_scores, rtol=2e-4, atol=2e-4,
+        err_msg=f"trial {trial}",
+    )
+    # every returned row must satisfy the filter per the oracle
+    for i in got.indices:
+        assert row_mask[i], f"trial {trial}: row {i} fails the filter"
+    # stats sanity: pruning never loses a matching chunk
+    stats = store.last_query_stats()
+    assert stats.evaluated_chunks + stats.pruned_chunks == stats.total_chunks
