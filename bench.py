@@ -161,8 +161,16 @@ def cpu_proxy_qps() -> float:
 
 
 def main() -> None:
-    store = build_store()
-    tpu_qps = run_tpu(store)
+    import os
+
+    try:
+        store = build_store()
+        tpu_qps = run_tpu(store)
+    except Exception as e:  # insurance: fall back to the pure-XLA path
+        log(f"pallas path failed ({type(e).__name__}: {e}); retrying XLA-only")
+        os.environ["OTTERS_DISABLE_PALLAS"] = "1"
+        store = build_store()
+        tpu_qps = run_tpu(store)
     cpu_qps = cpu_proxy_qps()
     result = {
         "metric": "filtered_cosine_exact_top10_qps_1Mx768",

@@ -419,7 +419,7 @@ class MetaStoreBuilder:
         """HBM storage dtype for vectors: "float32" (default, exact) or
         "bfloat16" (half the HBM; scores computed in f32 from bf16-rounded
         vectors — a speed/memory knob, rankings may differ at the ulp)."""
-        if dtype not in ("float32", "bfloat16"):
+        if dtype not in ("float32", "bfloat16", "int8"):
             raise OttersError(f"unsupported storage dtype {dtype!r}")
         self._storage_dtype = dtype
         return self
@@ -524,7 +524,11 @@ class MetaStoreBuilder:
         ingest_start = time.perf_counter()
         import jax.numpy as _jnp
 
-        _dtype = _jnp.bfloat16 if self._storage_dtype == "bfloat16" else _jnp.float32
+        _dtype = {
+            "bfloat16": _jnp.bfloat16,
+            "int8": _jnp.int8,
+            "float32": _jnp.float32,
+        }[self._storage_dtype]
         if from_device:
             dv = scoring.materialize_from_device(
                 vectors, n_valid=n_rows, dtype=_dtype
@@ -825,9 +829,19 @@ class MetaStore:
         n_pad = dv.vectors.shape[0]
         b = queries.shape[0]
         k_eff = min(k, b * n_pad)
+        import jax.numpy as _jnp
+
+        if dv.vectors.dtype == _jnp.int8 and metric is not Metric.Cosine:
+            raise OttersError(
+                "int8 quantized storage supports the Cosine metric only"
+            )
         tile = scoring.choose_mode(n_pad, b, k_eff)
         fast = False
-        if tile == "panel" and metric is not Metric.Manhattan:
+        if (
+            tile == "panel"
+            and metric is not Metric.Manhattan
+            and dv.vectors.dtype != _jnp.int8
+        ):
             from .ops import pallas_topk as pk
 
             if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):

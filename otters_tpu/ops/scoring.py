@@ -73,10 +73,39 @@ def materialize(vectors_np: np.ndarray, dtype=jnp.float32) -> DeviceVecs:
     n_pad = pad_rows(n)
     host = np.zeros((n_pad, d), dtype=np.float32)
     host[:n] = vectors_np
+    if dtype == jnp.int8:
+        return _materialize_int8(jnp.asarray(host), n)
     vecs = jnp.asarray(host, dtype=dtype)
     valid = jnp.arange(n_pad, dtype=jnp.int32) < n
     norms_sq, inv_norms = _device_norms(vecs)
     return DeviceVecs(vecs, norms_sq, inv_norms, valid)
+
+
+def _materialize_int8(vecs_f32: jax.Array, n_valid: int) -> DeviceVecs:
+    """Quantized cosine storage: per-row symmetric int8.
+
+    Cosine is scale-invariant, so per-row quantization scales cancel: the
+    stored norms are those of the QUANTIZED rows and queries are quantized
+    at dispatch (see _score_block). 4x less HBM than f32; approximate
+    (recall measured ~0.9+ at top-10 on random data — use
+    otters_tpu.evaluate.recall_at_k to quantify on your data). Cosine-only.
+    """
+    n_pad = vecs_f32.shape[0]
+    v8, norms_sq, inv = _quantize_rows_int8(vecs_f32)
+    valid = jnp.arange(n_pad, dtype=jnp.int32) < n_valid
+    return DeviceVecs(v8, norms_sq, inv, valid)
+
+
+@jax.jit
+def _quantize_rows_int8(vecs):
+    amax = jnp.max(jnp.abs(vecs), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    v8 = jnp.clip(jnp.round(vecs / scale), -127, 127).astype(jnp.int8)
+    v8f = v8.astype(jnp.float32)
+    norms_sq = jnp.sum(v8f * v8f, axis=1)
+    norms = jnp.sqrt(norms_sq)
+    inv = jnp.where(norms != 0.0, 1.0 / norms, 0.0)
+    return v8, norms_sq, inv
 
 
 def materialize_from_device(
@@ -88,9 +117,15 @@ def materialize_from_device(
     ingestion paths that generate or stream data device-side.
     """
     n, _ = vecs.shape
+    n_pad = pad_rows(n)
+    if dtype == jnp.int8:
+        if n_pad != n:
+            vecs = jnp.pad(vecs.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+        return _materialize_int8(
+            vecs.astype(jnp.float32), n if n_valid is None else n_valid
+        )
     if dtype is not None and vecs.dtype != dtype:
         vecs = vecs.astype(dtype)
-    n_pad = pad_rows(n)
     if n_pad != n:
         vecs = jnp.pad(vecs, ((0, n_pad - n), (0, 0)))
     n_valid = n if n_valid is None else n_valid
@@ -142,6 +177,20 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
     """
     if metric is Metric.Manhattan:
         return _manhattan_scores(queries, vecs)
+    if vecs.dtype == jnp.int8:
+        # quantized cosine: quantize the queries symmetrically per row and
+        # run the int8 MXU path; per-row scales cancel under normalization
+        amax = jnp.max(jnp.abs(queries), axis=1, keepdims=True)
+        qscale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q8 = jnp.clip(jnp.round(queries / qscale), -127, 127).astype(jnp.int8)
+        dots = jnp.matmul(
+            q8, vecs.T, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        q8f = q8.astype(jnp.float32)
+        q_sq8 = jnp.sum(q8f * q8f, axis=1)
+        q_n = jnp.sqrt(q_sq8)
+        q_inv8 = jnp.where(q_n != 0.0, 1.0 / q_n, 0.0)
+        return dots * q_inv8[:, None] * v_inv[None, :]
     dots = jnp.matmul(
         queries,
         vecs.T,
@@ -631,10 +680,18 @@ def run_vec_topk(
     cmp_eff = None if thr is None else cmp
     rm = None if row_mask is None else jnp.asarray(row_mask)
 
+    if dv.vectors.dtype == jnp.int8 and metric is not Metric.Cosine:
+        raise OttersError(
+            "int8 quantized storage supports the Cosine metric only"
+        )
     mode = choose_mode(n_pad, b, k_eff)
     args = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm, thr_arr)
     kwargs = dict(metric=metric, k=k_eff, take_min=take_min, cmp=cmp_eff, prec=prec)
-    if mode == "panel" and metric is not Metric.Manhattan:
+    if (
+        mode == "panel"
+        and metric is not Metric.Manhattan
+        and dv.vectors.dtype != jnp.int8
+    ):
         # upgrade to the fused Pallas kernel on TPU (skips nothing here but
         # never materializes the score matrix)
         from . import pallas_topk as pk

@@ -114,7 +114,11 @@ class VecStore:
         if self._device is None:
             import jax.numpy as jnp
 
-            dtype = jnp.bfloat16 if self._dtype == "bfloat16" else jnp.float32
+            dtype = {
+                "bfloat16": jnp.bfloat16,
+                "int8": jnp.int8,
+                "float32": jnp.float32,
+            }[self._dtype]
             self._device = scoring.materialize(self._host_matrix(), dtype=dtype)
         return self._device
 
