@@ -168,6 +168,7 @@ def main() -> None:
         tpu_qps = run_tpu(store)
     except Exception as e:  # insurance: fall back to the pure-XLA path
         log(f"pallas path failed ({type(e).__name__}: {e}); retrying XLA-only")
+        store = None  # free the first store's HBM before rebuilding
         os.environ["OTTERS_DISABLE_PALLAS"] = "1"
         store = build_store()
         tpu_qps = run_tpu(store)

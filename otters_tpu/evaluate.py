@@ -21,7 +21,7 @@ def recall_at_k(exact_indices: Sequence[int], approx_indices: Sequence[int]) -> 
 
 def mean_recall_at_k(exact_lists, approx_lists) -> float:
     """Average recall over many queries' top-k lists."""
-    pairs = list(zip(exact_lists, approx_lists))
+    pairs = list(zip(exact_lists, approx_lists, strict=True))
     if not pairs:
         return 1.0
     return sum(recall_at_k(e, a) for e, a in pairs) / len(pairs)

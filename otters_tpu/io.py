@@ -149,6 +149,7 @@ def save_vec(store: VecStore, path: str) -> None:
         "kind": "VecStore",
         "dim": store.dim,
         "n": len(store),
+        "dtype": store._dtype,
     }
     np.savez(
         path,
@@ -162,7 +163,7 @@ def load_vec(path: str) -> VecStore:
         manifest = json.loads(bytes(z["manifest"]).decode("utf-8"))
         if manifest.get("kind") != "VecStore":
             raise OttersError(f"{path} does not contain a VecStore")
-        store = VecStore(manifest["dim"])
+        store = VecStore(manifest["dim"], dtype=manifest.get("dtype", "float32"))
         vectors = np.asarray(z["vectors"])
         if len(vectors):
             store.add_vectors(vectors)

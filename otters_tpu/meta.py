@@ -416,9 +416,14 @@ class MetaStoreBuilder:
         return self
 
     def with_storage_dtype(self, dtype: str) -> "MetaStoreBuilder":
-        """HBM storage dtype for vectors: "float32" (default, exact) or
-        "bfloat16" (half the HBM; scores computed in f32 from bf16-rounded
-        vectors — a speed/memory knob, rankings may differ at the ulp)."""
+        """HBM storage dtype for vectors.
+
+        "float32"  (default): exact.
+        "bfloat16": half the HBM; scores computed in f32 from bf16-rounded
+                    vectors — rankings may differ at the ulp.
+        "int8"    : quarter the HBM; per-row symmetric quantization,
+                    Cosine-only and approximate (measure with
+                    otters_tpu.evaluate.recall_at_k)."""
         if dtype not in ("float32", "bfloat16", "int8"):
             raise OttersError(f"unsupported storage dtype {dtype!r}")
         self._storage_dtype = dtype
@@ -829,9 +834,7 @@ class MetaStore:
         n_pad = dv.vectors.shape[0]
         b = queries.shape[0]
         k_eff = min(k, b * n_pad)
-        import jax.numpy as _jnp
-
-        if dv.vectors.dtype == _jnp.int8 and metric is not Metric.Cosine:
+        if dv.vectors.dtype == jnp.int8 and metric is not Metric.Cosine:
             raise OttersError(
                 "int8 quantized storage supports the Cosine metric only"
             )
@@ -840,7 +843,7 @@ class MetaStore:
         if (
             tile == "panel"
             and metric is not Metric.Manhattan
-            and dv.vectors.dtype != _jnp.int8
+            and dv.vectors.dtype != jnp.int8
         ):
             from .ops import pallas_topk as pk
 

@@ -175,22 +175,23 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
     euclid   = ||q||^2 + ||v||^2 - 2 q . v     (squared, vec_compute.rs:35-54)
     dot      = q . v
     """
-    if metric is Metric.Manhattan:
-        return _manhattan_scores(queries, vecs)
     if vecs.dtype == jnp.int8:
+        # backstop guard (also enforced with friendlier errors upstream in
+        # run_vec_topk / MetaStore._run_query_program; this one catches any
+        # path that reaches scoring directly, e.g. sharded stores)
+        if metric is not Metric.Cosine:
+            raise OttersError(
+                "int8 quantized storage supports the Cosine metric only"
+            )
         # quantized cosine: quantize the queries symmetrically per row and
         # run the int8 MXU path; per-row scales cancel under normalization
-        amax = jnp.max(jnp.abs(queries), axis=1, keepdims=True)
-        qscale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q8 = jnp.clip(jnp.round(queries / qscale), -127, 127).astype(jnp.int8)
+        q8, _, q_inv8 = _quantize_rows_int8(queries)
         dots = jnp.matmul(
             q8, vecs.T, preferred_element_type=jnp.int32
         ).astype(jnp.float32)
-        q8f = q8.astype(jnp.float32)
-        q_sq8 = jnp.sum(q8f * q8f, axis=1)
-        q_n = jnp.sqrt(q_sq8)
-        q_inv8 = jnp.where(q_n != 0.0, 1.0 / q_n, 0.0)
         return dots * q_inv8[:, None] * v_inv[None, :]
+    if metric is Metric.Manhattan:
+        return _manhattan_scores(queries, vecs)
     dots = jnp.matmul(
         queries,
         vecs.T,

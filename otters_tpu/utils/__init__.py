@@ -1,4 +1,4 @@
-"""Utility helpers: profiling, timing."""
+"""Utility helpers (profiling)."""
 
 from .profiling import trace
 

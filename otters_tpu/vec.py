@@ -41,11 +41,15 @@ class VecStore:
     """Append-only store of fixed-dimension f32 vectors (vec.rs:338-412)."""
 
     def __init__(self, dim: int, dtype: str = "float32"):
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise OttersError(f"unsupported storage dtype {dtype!r}")
         self.dim = int(dim)
         self._rows: List[np.ndarray] = []  # staged host chunks
         self._n = 0
         self._device: Optional[scoring.DeviceVecs] = None
-        self._dtype = dtype  # "float32" | "bfloat16" storage in HBM
+        # HBM storage: "float32" (exact) | "bfloat16" | "int8" (cosine-only,
+        # approximate; see ops/scoring._materialize_int8)
+        self._dtype = dtype
         self.precision: str = "highest"
 
     # ---- ingest ----------------------------------------------------------

@@ -13,8 +13,6 @@ from otters_tpu import Cmp, Column, DataType, Metric, MetaStore, col
 from otters_tpu.expr import Expr
 from otters_tpu.types import CmpOp
 
-RNG = np.random.default_rng(20260816)
-
 DTYPES = [
     DataType.Int32,
     DataType.Int64,

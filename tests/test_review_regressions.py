@@ -148,3 +148,26 @@ def test_vec_default_take_type_is_max_like_reference():
     r = store.query([0.0, 0.0], Metric.Euclidean).filter(100.0, Cmp.Lt).collect()
     # Max ordering: farthest first
     assert [x.index for x in r] == [1, 0]
+
+
+def test_sharded_int8_metric_guard():
+    """The int8 Cosine-only guard must hold on sharded stores too (the
+    backstop lives in _score_block, reachable from every path)."""
+    import pytest as _pytest
+
+    from otters_tpu import OttersError
+
+    rng = np.random.default_rng(87)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(rng.normal(size=(1000, 8)).astype(np.float32))
+        .with_storage_dtype("int8")
+        .build()
+    )
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = ShardedMetaStore.shard(store, mesh)
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    r = sharded.query_batch(q, Metric.Cosine).take(3).collect()
+    assert len(r) == 3
+    with _pytest.raises(OttersError, match="Cosine metric only"):
+        sharded.query_batch(q, Metric.Euclidean).take(3).collect()
