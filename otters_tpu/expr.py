@@ -5,6 +5,17 @@ and combine with ``&`` (AND) / ``|`` (OR); ``compile(schema)`` type-checks and
 lowers to a ``CompiledFilter`` whose ``clauses`` are an AND of OR-clauses
 (``[[A, B], [C]]`` == ``(A OR B) AND C`` — expr.rs:213-220).
 
+Examples (the reference's doc examples, expr.rs:11-22):
+
+>>> from otters_tpu import col
+>>> e1 = col("price").lte(40.0) & col("version").gte(2)
+>>> e2 = (col("age").lt(18) | col("age").gt(65)) & col("name").neq("alice")
+>>> e3 = col("grade").eq("A") | col("grade").eq("B")
+>>> from otters_tpu import DataType
+>>> schema = {"grade": DataType.String}
+>>> [len(clause) for clause in e3.compile(schema).clauses]
+[2]
+
 Lowering rules (expr.rs:345-372):
 - Cmp leaf  -> ``[[filter]]``
 - And(a, b) -> clause-list concatenation (expr.rs:474-483)
