@@ -329,7 +329,11 @@ def _jit_meta_program():
             # fused Pallas kernel: pruned chunks cost neither HBM nor MXU
             from .ops import pallas_topk as pk
 
-            t_rows = pk.choose_tile(dv.vectors.shape[1], n_pad)
+            t_rows = pk.choose_tile(
+                dv.vectors.shape[1],
+                n_pad,
+                pk._round_up(queries.shape[0], pk.LANE),
+            )
             if plan_static:
                 alive = pk.tiles_alive_from_chunk_mask(
                     cmask, chunk_size, n_pad, t_rows

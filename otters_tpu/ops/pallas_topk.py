@@ -49,10 +49,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def choose_tile(d: int, n_pad: int = 0) -> int:
-    """Row-tile size: keep the [T, D] f32 block around 3 MB of VMEM,
-    and never larger than the store itself."""
-    t = (3 * (1 << 20)) // (4 * d)
+def choose_tile(d: int, n_pad: int = 0, b_pad: int = LANE) -> int:
+    """Row-tile size under the 16 MB VMEM budget.
+
+    Bounds BOTH the double-buffered [T, D] vector tile (~3 MB each) and the
+    [B_pad, T] score/key working set (~3 copies): small-D stores would
+    otherwise pick huge T and blow scoped VMEM through the score buffers.
+    Must divide n_pad."""
+    t_by_vd = (3 * (1 << 20)) // (4 * d)
+    t_by_bt = (6 * (1 << 20)) // (4 * 3 * max(b_pad, LANE))
+    t = min(t_by_vd, t_by_bt)
     t = max(BIN, (t // BIN) * BIN)
     if n_pad:
         while t > BIN and n_pad % t != 0:
@@ -191,11 +197,11 @@ def pallas_topk(
     """
     n_pad, d = vectors.shape
     b = queries.shape[0]
-    t = choose_tile(d, n_pad)
+    b_pad = _round_up(b, LANE)
+    t = choose_tile(d, n_pad, b_pad)
     assert n_pad % t == 0, (n_pad, t)
     n_tiles = n_pad // t
     nb = t // BIN
-    b_pad = _round_up(b, LANE)
 
     if fast:
         assert fast_ok(metric, take_min, cmp, k, prec)
@@ -372,12 +378,12 @@ def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
         return False
     if k > 1024 or n_pad % BIN != 0:
         return False
-    t = choose_tile(d, n_pad)
+    b_pad = _round_up(b, LANE)
+    t = choose_tile(d, n_pad, b_pad)
     if n_pad % t != 0:
         return False
-    b_pad = _round_up(b, LANE)
-    # rough VMEM budget: queries + double-buffered vector tile + slack
-    vmem = b_pad * d * 4 + 2 * t * d * 4 + 2 * t * b_pad * 4
+    # rough VMEM budget: queries + double-buffered vector tile + score/key
+    vmem = b_pad * d * 4 + 2 * t * d * 4 + 3 * t * b_pad * 4
     return vmem <= 13 * (1 << 20)
 
 

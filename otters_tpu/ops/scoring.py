@@ -698,7 +698,9 @@ def run_vec_topk(
         from . import pallas_topk as pk
 
         if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):
-            t = pk.choose_tile(dv.vectors.shape[1], n_pad)
+            t = pk.choose_tile(
+                dv.vectors.shape[1], n_pad, pk._round_up(b, pk.LANE)
+            )
             alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
             fast = pk.fast_ok(metric, take_min, cmp_eff, k_eff, prec)
             rows, scores, valid, check = pk.pallas_topk(
