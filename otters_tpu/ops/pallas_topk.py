@@ -378,6 +378,11 @@ def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
         return False
     if k > 1024 or n_pad % BIN != 0:
         return False
+    if b * 4 < LANE:
+        # the kernel pads the batch to 128 lanes; below ~32 queries the
+        # padding waste exceeds what tile-skipping saves — the XLA panel
+        # path (which scales with the true b) wins
+        return False
     b_pad = _round_up(b, LANE)
     t = choose_tile(d, n_pad, b_pad)
     if n_pad % t != 0:

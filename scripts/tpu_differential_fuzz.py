@@ -4,11 +4,11 @@ from otters_tpu import Column, DataType, MetaStore, Metric, Cmp, col
 from otters_tpu.ops import scoring
 
 rng = np.random.default_rng(7)
-for trial in range(6):
+for trial in range(8):
     N = int(rng.choice([600_000, 1_000_000]))
-    D = int(rng.choice([256, 768]))
+    D = int(rng.choice([64, 128, 256, 768]))
     B = int(rng.choice([8, 64, 256]))
-    K = int(rng.choice([5, 10, 50]))
+    K = int(rng.choice([5, 10, 50, 100]))
     CHUNK = int(rng.choice([512, 1000, 1024, 4096]))  # incl. tile-misaligned 1000
     n_pad = scoring.pad_rows(N)
     V = jax.random.normal(jax.random.PRNGKey(trial), (n_pad, D), dtype=jnp.float32)
