@@ -8,11 +8,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
 
 vs_baseline is measured against a CPU brute-force proxy run on this host
-(numpy/BLAS matmul + argpartition top-k, multithreaded — a stand-in for the
-reference's Rust SIMD+rayon scan, which cannot be built here: no rustc in the
-image). The proxy is measured on a subsample and scaled linearly in rows;
-the reference is credited the same 50% zonemap pruning the TPU path gets.
-Details go to stderr; the single JSON line goes to stdout.
+(numpy/BLAS matmul + argpartition top-k — a stand-in for the reference's
+Rust SIMD+rayon scan, which cannot be built here: no rustc in the image;
+torch-CPU measures within 10% of it). The proxy is measured on a subsample
+and scaled linearly in rows; the reference is credited the same 50% zonemap
+pruning the TPU path gets. NOTE: this container exposes ONE CPU core, so
+the proxy is single-core; against a hypothetical 32-core rayon box, divide
+vs_baseline by ~32 — the BASELINE.md ">10x single-CPU otters" target still
+clears by an order of magnitude. Details go to stderr; the single JSON line
+goes to stdout.
 """
 
 from __future__ import annotations
