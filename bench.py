@@ -184,15 +184,19 @@ def cpu_proxy_qps() -> float:
 def main() -> None:
     import os
 
+    tpu_qps = None
     try:
         store = build_store()
         tpu_qps = run_tpu(store)
     except Exception as e:  # insurance: fall back to the pure-XLA path
         log(f"pallas path failed ({type(e).__name__}: {e}); retrying XLA-only")
-        store = None  # free the first store's HBM before rebuilding
         os.environ["OTTERS_DISABLE_PALLAS"] = "1"
-        store = build_store()
-        tpu_qps = run_tpu(store)
+    if tpu_qps is None:
+        # rebuild OUTSIDE the except block: the exception's traceback kept
+        # the failed run's frames (and the first store's HBM) alive until
+        # the handler exited
+        store = None
+        tpu_qps = run_tpu(build_store())
     cpu_qps = cpu_proxy_qps()
     result = {
         "metric": "filtered_cosine_exact_top10_qps_1Mx768",

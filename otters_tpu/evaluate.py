@@ -12,7 +12,13 @@ from typing import Sequence
 
 
 def recall_at_k(exact_indices: Sequence[int], approx_indices: Sequence[int]) -> float:
-    """|approx ∩ exact| / |exact| for one query's top-k lists."""
+    """|approx ∩ exact| / |exact| for one query's top-k lists.
+
+    >>> recall_at_k([1, 2, 3, 4], [4, 2, 9, 1])
+    0.75
+    >>> recall_at_k([], [])
+    1.0
+    """
     if not exact_indices:
         return 1.0
     exact = set(exact_indices)

@@ -56,6 +56,6 @@ def run(kern, t, out_tail, label, n_v_inputs=1):
     jax.device_get(outs)
     print(f"{label}: {(time.perf_counter()-t0)/5*1e3:.1f} ms ({nt} steps)", flush=True)
 
+run(k_mm, 1024, (B,2), "A mm-only t=1024")
+run(k_mm_bins(2), 1024, (B,2), "B mm+binmax t=1024 (f32 HIGHEST baseline)")
 run(k_planes(2), 1024, (B,2), "D planes bf16x3+binmax t=1024", n_v_inputs=2)
-run(k_planes(4), 2048, (B,4), "E planes bf16x3+binmax t=2048", n_v_inputs=2)
-run(k_planes(6), 3072, (B,6), "F planes bf16x3+binmax t=3072", n_v_inputs=2)

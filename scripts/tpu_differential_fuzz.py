@@ -1,13 +1,13 @@
 """TPU-scale differential fuzz: pallas (fast+strict) vs XLA panel, random configs."""
-import os, time, numpy as np, jax, jax.numpy as jnp
-from otters_tpu import Column, DataType, MetaStore, Metric, Cmp, col
+import os, numpy as np, jax, jax.numpy as jnp
+from otters_tpu import Column, DataType, MetaStore, Metric, col
 from otters_tpu.ops import scoring
 
 rng = np.random.default_rng(7)
 for trial in range(8):
     N = int(rng.choice([600_000, 1_000_000]))
     D = int(rng.choice([64, 128, 256, 768]))
-    B = int(rng.choice([8, 64, 256]))
+    B = int(rng.choice([32, 64, 256]))  # >= 32: below that pallas_ok routes to panel
     K = int(rng.choice([5, 10, 50, 100]))
     CHUNK = int(rng.choice([512, 1000, 1024, 4096]))  # incl. tile-misaligned 1000
     n_pad = scoring.pad_rows(N)

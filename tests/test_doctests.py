@@ -15,3 +15,4 @@ def test_expr_doctests():
 def test_evaluate_doctests():
     results = doctest.testmod(otters_tpu.evaluate, verbose=False)
     assert results.failed == 0
+    assert results.attempted > 0
