@@ -164,12 +164,14 @@ def cpu_proxy_qps() -> float:
     q = rng.normal(size=(CPU_SUB_B, D)).astype(np.float32)
     qinv = 1.0 / np.linalg.norm(q, axis=1)
 
-    t0 = time.perf_counter()
-    scores = (q @ vecs.T) * qinv[:, None] * inv[None, :]
-    flat = scores.reshape(-1)
-    top = np.argpartition(-flat, K)[:K]
-    _ = flat[top]
-    dt = time.perf_counter() - t0
+    dt = float("inf")  # best of 3: favor the reference under host noise
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scores = (q @ vecs.T) * qinv[:, None] * inv[None, :]
+        flat = scores.reshape(-1)
+        top = np.argpartition(-flat, K)[:K]
+        _ = flat[top]
+        dt = min(dt, time.perf_counter() - t0)
 
     # scale rows up to N, credit the reference the same 50% chunk pruning
     per_query = dt / CPU_SUB_B * (N / CPU_SUB_N) * 0.5
