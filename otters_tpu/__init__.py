@@ -39,6 +39,9 @@ from .ops.distance import cosine_similarity, dot_product, euclidean_distance_squ
 from .types import Cmp, CmpOp, DataType, Metric, SearchResult, TakeType
 from .vec import VecQueryPlan, VecStore
 
+# submodules with additional surface (importable as otters_tpu.<name>)
+from . import adapters, evaluate, io, parallel, utils  # noqa: E402,F401
+
 __version__ = "0.1.0"
 
 __all__ = [
