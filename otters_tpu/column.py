@@ -205,21 +205,63 @@ class Column:
         self._null_mask.push(False)
         return self
 
-    def from_values(self, values: Iterable) -> "Column":
-        """Bulk append; returns self for chaining (reference col.rs:393-401)."""
-        values = list(values)
+    def _extend_fast(self, arr: np.ndarray) -> Optional["Column"]:
+        """Vectorized non-null append of a 1-D numpy array.
+
+        Returns None (caller falls back to the per-value ``push`` loop, which
+        produces the exact reference error) when the array's dtype would not
+        be accepted by ``push`` element-wise: int columns only take integer
+        arrays (a float array would silently truncate), float columns take
+        integer or floating arrays, DateTime takes integer epoch-millis.
+        """
         dt = self._dtype
-        # Fast vectorized path for fully non-null numeric data.
+        kind_ok = {
+            DataType.Int32: (np.integer,),
+            DataType.Int64: (np.integer,),
+            DataType.DateTime: (np.integer,),
+            DataType.Float32: (np.integer, np.floating),
+            DataType.Float64: (np.integer, np.floating),
+        }.get(dt)
         if (
-            dt in (DataType.Int32, DataType.Int64, DataType.Float32, DataType.Float64)
-            and values
-            and not any(v is None for v in values)
+            kind_ok is None
+            or arr.ndim != 1
+            or arr.dtype == np.bool_
+            or not any(np.issubdtype(arr.dtype, k) for k in kind_ok)
         ):
-            arr = np.asarray(values, dtype=dt.numpy_dtype)
-            if arr.ndim == 1:
-                self._data.extend(arr)
-                self._null_mask.extend(np.zeros(len(arr), dtype=np.bool_))
+            return None
+        if dt in (DataType.Int32, DataType.Int64, DataType.DateTime):
+            info = np.iinfo(dt.numpy_dtype)
+            if arr.size and (arr.min() < info.min or arr.max() > info.max):
+                return None  # push raises the overflow per-value
+        self._data.extend(arr.astype(dt.numpy_dtype, copy=False))
+        self._null_mask.extend(np.zeros(len(arr), dtype=np.bool_))
+        return self
+
+    def from_values(self, values: Iterable) -> "Column":
+        """Bulk append; returns self for chaining (reference col.rs:393-401).
+
+        Numpy arrays (and None-free numeric lists) take a vectorized path;
+        element types are still validated against the column dtype, so e.g.
+        a float array into an Int32 column raises ColumnTypeMismatch exactly
+        like per-value ``push`` would.
+        """
+        if isinstance(values, np.ndarray):
+            if self._extend_fast(values) is not None:
                 return self
+            values = list(values)
+        else:
+            values = list(values)
+            if (
+                self._dtype is not DataType.String
+                and values
+                and not any(v is None for v in values)
+            ):
+                try:
+                    arr = np.asarray(values)
+                except (ValueError, TypeError, OverflowError):
+                    arr = np.asarray([], dtype=object)
+                if arr.dtype != object and self._extend_fast(arr) is not None:
+                    return self
         for v in values:
             self.push(v)
         return self

@@ -98,7 +98,10 @@ def save_meta(store: MetaStore, path: str) -> None:
     arrays["manifest"] = np.frombuffer(
         json.dumps(manifest).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    # write through a file object so the EXACT path is used (np.savez appends
+    # '.npz' to bare paths, which load_meta would then fail to find)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_meta(path: str) -> MetaStore:
@@ -151,11 +154,14 @@ def save_vec(store: VecStore, path: str) -> None:
         "n": len(store),
         "dtype": store._dtype,
     }
-    np.savez(
-        path,
-        vectors=store._host_matrix(),
-        manifest=np.frombuffer(json.dumps(manifest).encode("utf-8"), np.uint8),
-    )
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            vectors=store._host_matrix(),
+            manifest=np.frombuffer(
+                json.dumps(manifest).encode("utf-8"), np.uint8
+            ),
+        )
 
 
 def load_vec(path: str) -> VecStore:

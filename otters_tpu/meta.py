@@ -990,6 +990,17 @@ class MetaQueryPlan:
         return result
 
     # -- host-exact fallbacks ---------------------------------------------------
+    def _host_rhs(self, leaf: ColumnFilter):
+        """Leaf literal as the device sees it: Int32 thresholds wrap like
+        `as i32` (meta_compute.rs:259) so host verification agrees with the
+        device/reference semantics."""
+        if (
+            leaf.kind != "string"
+            and self._store.schema()[leaf.column] is DataType.Int32
+        ):
+            return int(np.int64(leaf.rhs).astype(np.int32))
+        return leaf.rhs
+
     def _row_satisfies(self, i: int) -> bool:
         """Host CNF evaluation for one row (exact, used for verification)."""
         assert self._meta_filter is not None
@@ -1006,7 +1017,9 @@ class MetaQueryPlan:
                 else:
                     # .item() yields exact Python scalars; int/float compares
                     # in Python are exact (no 64-bit precision loss)
-                    sat = _num_cmp(np.asarray(v).item(), leaf.rhs, leaf.cmp)
+                    sat = _num_cmp(
+                        np.asarray(v).item(), self._host_rhs(leaf), leaf.cmp
+                    )
                 if sat:
                     ok = True
                     break
@@ -1042,7 +1055,7 @@ class MetaQueryPlan:
                         m = np.zeros(n, dtype=bool)
                 else:
                     vals = np.asarray(c.values()[:n])
-                    m = _np_cmp(vals, leaf.rhs, leaf.cmp)
+                    m = _np_cmp(vals, self._host_rhs(leaf), leaf.cmp)
                 cm |= np.asarray(m, dtype=bool) & ~nulls
             pad = np.zeros(n_pad, dtype=bool)
             pad[:n] = cm

@@ -40,6 +40,9 @@ SCAN_TILE = 8192
 # Largest flattened candidate count (B * N_pad) handled by the direct path.
 DIRECT_LIMIT = 1 << 22
 SMALL_PAD = 128
+# Mid-size stores pad to a PANEL_BIN multiple so the panel path is always
+# eligible when a big query batch pushes b * n_pad past DIRECT_LIMIT.
+MID_PAD = 512
 
 
 class DeviceVecs(NamedTuple):
@@ -62,6 +65,8 @@ def pad_rows(n: int) -> int:
     """Padded row count for a store of n vectors."""
     if n > DIRECT_LIMIT // 8:  # large store: align to the scan tile
         tile = SCAN_TILE
+    elif n > 4096:
+        tile = MID_PAD
     else:
         tile = SMALL_PAD
     return max(tile, -(-n // tile) * tile)

@@ -8,12 +8,13 @@ with k-sized all-gathers over ICI — cheap payloads, no full-score traffic.
 """
 
 from .dist_query import ShardedVecStore, sharded_topk
-from .mesh import make_mesh
+from .mesh import init_distributed, make_mesh
 from .meta_sharded import ShardedMetaStore, build_sharded
 
 __all__ = [
     "ShardedVecStore",
     "sharded_topk",
+    "init_distributed",
     "make_mesh",
     "ShardedMetaStore",
     "build_sharded",

@@ -31,16 +31,6 @@ def test_mesh_construction():
         make_mesh(rows=3, batch=2)
 
 
-def _brute_topk(vectors, queries, k, metric=Metric.DotProduct):
-    if metric is Metric.DotProduct:
-        scores = queries @ vectors.T
-    else:
-        raise NotImplementedError
-    flat = scores.reshape(-1)
-    order = np.argsort(-flat, kind="stable")[:k]
-    return sorted((order % vectors.shape[1 - 1]).tolist()), np.sort(-np.sort(-flat)[:k])
-
-
 def test_sharded_matches_single_device(data):
     vectors, queries = data
     mesh = make_mesh(rows=8, batch=1)

@@ -171,3 +171,97 @@ def test_sharded_int8_metric_guard():
     assert len(r) == 3
     with _pytest.raises(OttersError, match="Cosine metric only"):
         sharded.query_batch(q, Metric.Euclidean).take(3).collect()
+
+
+# ---- round-2 advisor findings (ADVICE.md) ----------------------------------
+
+
+def test_from_values_validates_like_push():
+    """ADVICE r1: the vectorized from_values path must not silently truncate
+    floats into int columns or swallow type errors."""
+    from otters_tpu.errors import ColumnTypeMismatch
+
+    with pytest.raises(ColumnTypeMismatch):
+        Column("a", DataType.Int32).from_values([1.5])
+    with pytest.raises(ColumnTypeMismatch):
+        Column("a", DataType.Int64).from_values(np.asarray([1.5, 2.5]))
+    with pytest.raises(ColumnTypeMismatch):
+        Column("a", DataType.Int32).from_values(["x", "y"])
+    # valid numpy fast paths still work (including int -> float widening)
+    c = Column("f", DataType.Float32).from_values(np.asarray([1, 2, 3]))
+    assert list(c.values()) == [1.0, 2.0, 3.0]
+    c2 = Column("i", DataType.Int64).from_values(np.asarray([2**40, -5]))
+    assert list(c2.values()) == [2**40, -5]
+    c3 = Column("d", DataType.DateTime).from_values(
+        np.asarray([1000, 2000], dtype=np.int64)
+    )
+    assert list(c3.values()) == [1000, 2000]
+    # bool arrays are not integers
+    with pytest.raises(ColumnTypeMismatch):
+        Column("i", DataType.Int32).from_values(np.asarray([True, False]))
+
+
+def test_from_values_int32_overflow_raises():
+    with pytest.raises((OverflowError, Exception)):
+        Column("a", DataType.Int32).from_values([2**40])
+
+
+def test_save_load_exact_path_no_suffix(tmp_path):
+    """ADVICE r1: store.save('x.bin') must be loadable as 'x.bin'."""
+    rng = np.random.default_rng(88)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(rng.normal(size=(20, 4)).astype(np.float32))
+        .build()
+    )
+    path = str(tmp_path / "store.bin")
+    store.save(path)
+    import os
+
+    assert os.path.exists(path)
+    loaded = MetaStore.load(path)
+    assert loaded.n_rows == 20
+
+
+def test_choose_mode_midsize_many_queries():
+    """ADVICE r1: 400k rows x large batch must pick a panel-capable padding,
+    not raise 'too large for device memory'."""
+    n_pad = scoring.pad_rows(400_000)
+    assert n_pad % scoring.PANEL_BIN == 0
+    assert scoring.choose_mode(n_pad, 1350, 10) == "panel"
+
+
+def test_host_verifier_wraps_int32_literals():
+    """ADVICE r1: a string Eq + out-of-i32-range threshold must not trigger
+    the collision fallback — host verification wraps like the device."""
+    rng = np.random.default_rng(89)
+    n = 64
+    ids = Column("id", DataType.Int32).from_values(list(range(n)))
+    names = Column("name", DataType.String).from_values(
+        ["a" if i % 2 == 0 else "b" for i in range(n)]
+    )
+    store = (
+        MetaStore.from_columns([ids, names])
+        .with_vectors(rng.normal(size=(n, 4)).astype(np.float32))
+        .with_chunk_size(16)
+        .build()
+    )
+    # 2**31 + 5 wraps to a negative i32 -> gt() matches EVERY row on device;
+    # the host verifier must agree (no spurious exact-fallback divergence)
+    expr = col("name").eq("a") & col("id").gt(2**31 + 5)
+    r = (
+        store.query(np.ones(4, np.float32), Metric.Cosine)
+        .meta_filter(expr)
+        .take(n)
+        .collect()
+    )
+    assert sorted(r.indices) == [i for i in range(n) if i % 2 == 0]
+
+
+def test_parallel_exports_init_distributed():
+    import otters_tpu.parallel as par
+
+    assert hasattr(par, "init_distributed")
+    import otters_tpu
+
+    assert hasattr(otters_tpu.parallel, "init_distributed")
