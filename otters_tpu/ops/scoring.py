@@ -211,18 +211,32 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
 
 
 def _manhattan_scores(queries, vecs):
-    """L1 distances [B, T] on the VPU, row-paneled to bound the [B, P, D]
-    broadcast at ~256 MB."""
+    """L1 distances [B, T] on the VPU.
+
+    The [B, blk, D] abs-diff broadcast is bounded at ~256 MB per block; blocks
+    run under ``lax.scan`` so the program compiles ONE block body regardless
+    of N (an unrolled Python loop emitted hundreds of panels at 1M+ rows and
+    took minutes to compile). L1 has no MXU mapping — this path is VPU-bound
+    by construction (~3 ops/element)."""
     b, d = queries.shape
     n = vecs.shape[0]
-    panel = max(8, min(n, (1 << 26) // max(1, b * d)))
-    outs = []
-    for off in range(0, n, panel):
-        v = vecs[off : off + panel].astype(jnp.float32)
-        outs.append(
-            jnp.sum(jnp.abs(queries[:, None, :] - v[None, :, :]), axis=-1)
-        )
-    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    blk = max(8, min(n, (1 << 26) // max(1, b * d)))
+    v = vecs.astype(jnp.float32)
+    if n <= blk:
+        return jnp.sum(jnp.abs(queries[:, None, :] - v[None, :, :]), axis=-1)
+    n_blocks = -(-n // blk)
+    n_pad = n_blocks * blk
+    if n_pad != n:
+        v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+    vt = v.reshape(n_blocks, blk, d)
+
+    def step(_, vb):
+        return None, jnp.sum(
+            jnp.abs(queries[:, None, :] - vb[None, :, :]), axis=-1
+        )  # [B, blk]
+
+    _, ys = jax.lax.scan(step, None, vt)  # [n_blocks, B, blk]
+    return jnp.moveaxis(ys, 0, 1).reshape(b, n_pad)[:, :n]
 
 
 def _filter_ok(scores, thr, cmp: Optional[Cmp]):

@@ -116,6 +116,9 @@ def _oracle(vectors, queries, metric, compiled, raw_cols, schema, k, thr, cmp):
         vi = np.where(vi != 0, 1.0 / vi, 0.0)
         s = (queries @ vectors.T) * qi[:, None] * vi[None, :]
         take_min = False
+    elif metric is Metric.Manhattan:
+        s = np.abs(queries[:, None, :] - vectors[None, :, :]).sum(axis=2)
+        take_min = True
     else:
         s = (
             (queries**2).sum(1)[:, None]
@@ -170,15 +173,19 @@ def test_random_store_random_filter_matches_oracle(trial):
     for e in leaves[1:]:
         expr = (expr & e) if rng.random() < 0.5 else (expr | e)
 
-    metric = [Metric.Cosine, Metric.DotProduct, Metric.Euclidean][
-        rng.integers(0, 3)
-    ]
+    metric = [
+        Metric.Cosine, Metric.DotProduct, Metric.Euclidean, Metric.Manhattan
+    ][rng.integers(0, 4)]
     b = int(rng.integers(1, 4))
     queries = rng.normal(size=(b, d)).astype(np.float32)
     k = int(rng.integers(1, 30))
     use_vf = rng.random() < 0.4
     thr = float(rng.normal(0, 5)) if use_vf else None
-    vcmp = Cmp.Gt if (metric is not Metric.Euclidean) else Cmp.Lt
+    vcmp = (
+        Cmp.Gt
+        if metric in (Metric.Cosine, Metric.DotProduct)
+        else Cmp.Lt
+    )
 
     plan = store.query_batch(queries, metric).meta_filter(expr).take(k)
     if use_vf:

@@ -66,3 +66,21 @@ def test_manhattan_large_paths(n):
     ref = np.abs(vectors[None, :, :] - q[:, None, :]).sum(axis=2).reshape(-1)
     want = np.sort(ref)[:6]
     np.testing.assert_allclose([r.score for r in got], want, rtol=1e-5, atol=1e-4)
+
+
+def test_manhattan_block_scan_with_remainder():
+    """Large b*d forces _manhattan_scores onto the lax.scan block path with a
+    non-multiple remainder; results must match the single-block math."""
+    rng = np.random.default_rng(74)
+    n, d, b = 20_000, 256, 16
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    store = VecStore(d)
+    store.add_vectors(vectors)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    got = store.query(q, Metric.Manhattan).take(7).collect()
+    ref = np.abs(vectors[None, :, :] - q[:, None, :]).sum(axis=2).reshape(-1)
+    order = np.argsort(ref, kind="stable")[:7]
+    assert [r.index for r in got] == (order % n).tolist()
+    np.testing.assert_allclose(
+        [r.score for r in got], ref[order], rtol=1e-5, atol=1e-3
+    )
