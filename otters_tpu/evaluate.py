@@ -8,7 +8,56 @@ roadmap item).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
+
+
+def exact_rerank(
+    queries,
+    cand_indices: Sequence[int],
+    fetch_vectors: Callable,
+    metric,
+    k: int,
+    take_min: bool = False,
+):
+    """Re-rank a widened candidate set with exact f32 scores.
+
+    The int8 path at extreme scale (e.g. 10M x 768 on one chip) returns
+    quantized-cosine candidates; recall@k is recovered by taking k' >> k
+    candidates and re-scoring just those rows in f32 against the true
+    vectors. ``fetch_vectors(indices) -> [m, d] f32`` supplies the exact
+    rows (host store, regeneration, disk, ...). Batch queries merge into ONE
+    global top-k, matching the reference semantics (vec.rs:217-219).
+
+    Returns (indices[k], scores[k]) sorted by the take direction.
+    """
+    import numpy as np
+
+    from .types import Metric
+
+    cand = np.asarray(list(dict.fromkeys(int(i) for i in cand_indices)))
+    if cand.size == 0:
+        return [], []
+    v = np.asarray(fetch_vectors(cand), dtype=np.float32)
+    q = np.asarray(queries, dtype=np.float32)
+    if q.ndim == 1:
+        q = q[None, :]
+    q_sq, q_inv = (q * q).sum(1), None
+    if metric is Metric.Cosine:
+        qn = np.linalg.norm(q, axis=1)
+        vn = np.linalg.norm(v, axis=1)
+        s = (q @ v.T) * np.where(qn > 0, 1 / qn, 0)[:, None]
+        s = s * np.where(vn > 0, 1 / vn, 0)[None, :]
+    elif metric is Metric.DotProduct:
+        s = q @ v.T
+    elif metric is Metric.Euclidean:
+        s = q_sq[:, None] + (v * v).sum(1)[None, :] - 2.0 * (q @ v.T)
+    else:  # Manhattan
+        s = np.abs(q[:, None, :] - v[None, :, :]).sum(axis=2)
+    flat = s.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    order = order[:k] if take_min else order[::-1][:k]
+    rows = cand[order % len(cand)]
+    return rows.tolist(), flat[order].tolist()
 
 
 def recall_at_k(exact_indices: Sequence[int], approx_indices: Sequence[int]) -> float:

@@ -54,7 +54,6 @@ from .types import (
 )
 
 _I32 = np.iinfo(np.int32)
-_I64 = np.iinfo(np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -130,12 +129,6 @@ class MetaQueryResults:
 # ---------------------------------------------------------------------------
 
 
-def _pad_to(arr: np.ndarray, n_pad: int, fill) -> np.ndarray:
-    out = np.full((n_pad,) + arr.shape[1:], fill, dtype=arr.dtype)
-    out[: len(arr)] = arr
-    return out
-
-
 def _chunk_offsets(n: int, c: int) -> np.ndarray:
     return np.arange(0, n, c, dtype=np.int64)
 
@@ -168,77 +161,49 @@ def _permute_column(col: Column, perm: np.ndarray) -> Column:
 def _build_device_column(
     col: Column, n: int, n_pad: int, chunk_size: int, n_chunks: int, bloom_cfg
 ):
-    """-> (repr, device dict of jnp arrays, host aux) for one column."""
+    """-> (repr, device dict of jnp arrays, host aux) for one column.
+
+    The host only stages raw values (plus the cheap (hi, lo) bit-splits for
+    64-bit types) and ships them to HBM — they are needed there anyway for
+    row-mask predicates. All zonemap statistics (per-chunk min/max/non-null)
+    are computed ON DEVICE by ops/zonemap.py segmented reductions, replacing
+    the reference's host fold (meta_compute.rs:32-132)."""
     import jax.numpy as jnp
 
-    nulls = np.asarray(col.null_mask(), dtype=bool)[:n]
-    null_pad = _pad_to(nulls, n_pad, True)
-    offs = _chunk_offsets(n, chunk_size)
-    non_null = np.add.reduceat((~nulls).astype(np.int32), offs) if n else np.zeros(
-        n_chunks, np.int32
-    )
+    from .ops import zonemap as zm
+
+    nulls_np = np.asarray(col.null_mask(), dtype=bool)[:n]
+    nulls = jnp.asarray(nulls_np)
     dt = col.dtype
-    dev: Dict[str, object] = {"null": jnp.asarray(null_pad)}
+    kw = dict(c=chunk_size, n_chunks=n_chunks, n_pad=n_pad)
     aux = None
 
-    if dt in (DataType.Int32, DataType.Float32):
-        vals = np.asarray(col.values(), dtype=dt.numpy_dtype)[:n]
-        if dt is DataType.Int32:
-            lo = np.where(nulls, _I32.max, vals)
-            hi = np.where(nulls, _I32.min, vals)
-            zmin = np.minimum.reduceat(lo, offs) if n else np.zeros(0, np.int32)
-            zmax = np.maximum.reduceat(hi, offs) if n else np.zeros(0, np.int32)
-            dev["vals"] = jnp.asarray(_pad_to(vals, n_pad, _I32.min))
-        else:
-            zmin = np.fmin.reduceat(vals, offs) if n else np.zeros(0, np.float32)
-            zmax = np.fmax.reduceat(vals, offs) if n else np.zeros(0, np.float32)
-            zmin = np.where(np.isnan(zmin), np.float32(np.inf), zmin)
-            zmax = np.where(np.isnan(zmax), np.float32(-np.inf), zmax)
-            dev["vals"] = jnp.asarray(_pad_to(vals, n_pad, np.float32("nan")))
-        dev["zmin"] = jnp.asarray(zmin)
-        dev["zmax"] = jnp.asarray(zmax)
-        rep = "i32" if dt is DataType.Int32 else "f32"
-
+    if dt is DataType.Int32:
+        vals = jnp.asarray(np.asarray(col.values(), dtype=np.int32)[:n])
+        dev = dict(zm.build_i32(vals, nulls, **kw))
+        rep = "i32"
+    elif dt is DataType.Float32:
+        vals = jnp.asarray(np.asarray(col.values(), dtype=np.float32)[:n])
+        dev = dict(zm.build_f32(vals, nulls, **kw))
+        rep = "f32"
     elif dt in (DataType.Int64, DataType.DateTime):
-        vals = np.asarray(col.values(), dtype=np.int64)[:n]
-        vhi, vlo = wide64.split_i64(vals)
-        dev["hi"] = jnp.asarray(_pad_to(vhi, n_pad, np.int32(_I32.min)))
-        dev["lo"] = jnp.asarray(_pad_to(vlo, n_pad, np.uint32(0)))
-        lo_ = np.where(nulls, _I64.max, vals)
-        hi_ = np.where(nulls, _I64.min, vals)
-        zmin = np.minimum.reduceat(lo_, offs) if n else np.zeros(0, np.int64)
-        zmax = np.maximum.reduceat(hi_, offs) if n else np.zeros(0, np.int64)
-        zmin_hi, zmin_lo = wide64.split_i64(zmin)
-        zmax_hi, zmax_lo = wide64.split_i64(zmax)
-        dev["zmin_hi"], dev["zmin_lo"] = jnp.asarray(zmin_hi), jnp.asarray(zmin_lo)
-        dev["zmax_hi"], dev["zmax_lo"] = jnp.asarray(zmax_hi), jnp.asarray(zmax_lo)
+        vhi, vlo = wide64.split_i64(np.asarray(col.values(), dtype=np.int64)[:n])
+        dev = dict(zm.build_w64(jnp.asarray(vhi), jnp.asarray(vlo), nulls, **kw))
         rep = "w64"
-
     elif dt is DataType.Float64:
-        vals = np.asarray(col.values(), dtype=np.float64)[:n]
-        vhi, vlo = wide64.split_f64(vals)  # ordered-integer domain
-        dev["hi"] = jnp.asarray(_pad_to(vhi, n_pad, np.uint32(0)))
-        dev["lo"] = jnp.asarray(_pad_to(vlo, n_pad, np.uint32(0)))
-        # fmin/fmax skip NaN values like the reference fold (meta_compute.rs:84-98)
-        zmin = np.fmin.reduceat(vals, offs) if n else np.zeros(0, np.float64)
-        zmax = np.fmax.reduceat(vals, offs) if n else np.zeros(0, np.float64)
-        zmin = np.where(np.isnan(zmin), np.inf, zmin)
-        zmax = np.where(np.isnan(zmax), -np.inf, zmax)
-        zmin_hi, zmin_lo = wide64.split_f64(zmin)
-        zmax_hi, zmax_lo = wide64.split_f64(zmax)
-        dev["zmin_hi"], dev["zmin_lo"] = jnp.asarray(zmin_hi), jnp.asarray(zmin_lo)
-        dev["zmax_hi"], dev["zmax_lo"] = jnp.asarray(zmax_hi), jnp.asarray(zmax_lo)
+        vhi, vlo = wide64.split_f64(np.asarray(col.values(), dtype=np.float64)[:n])
+        dev = dict(zm.build_w64f(jnp.asarray(vhi), jnp.asarray(vlo), nulls, **kw))
         rep = "w64f"
-
-    else:  # String
+    else:  # String: hashes + Bloom bits come from the host (strings never
+        # live on device); padding + non-null counts run on device
         strings = list(col.values())[:n]
         g1, g2 = hashing.hash_strings(strings)
         rh_hi, rh_lo = hashing.identity_halves(g1)
-        # null rows get a hash no real string maps to, to be safe under Neq
-        rh_hi = np.where(nulls, np.uint32(0), rh_hi)
-        rh_lo = np.where(nulls, np.uint32(0), rh_lo)
-        dev["rh_hi"] = jnp.asarray(_pad_to(rh_hi, n_pad, np.uint32(0)))
-        dev["rh_lo"] = jnp.asarray(_pad_to(rh_lo, n_pad, np.uint32(0)))
+        dev = dict(
+            zm.build_str_rows(
+                jnp.asarray(rh_hi), jnp.asarray(rh_lo), nulls, **kw
+            )
+        )
         kind, val = bloom_cfg
         if kind == "fpr":
             params = bloom_ops.BloomParams.from_fpr(val, chunk_size)
@@ -246,13 +211,13 @@ def _build_device_column(
             params = bloom_ops.BloomParams.from_bits(val, chunk_size)
         chunk_ids = np.arange(n, dtype=np.int64) // chunk_size
         matrix = bloom_ops.build_matrix(
-            g1, g2, nulls, chunk_ids, n_chunks, params, chunk_size=chunk_size
+            g1, g2, nulls_np, chunk_ids, n_chunks, params,
+            chunk_size=chunk_size,
         )
         dev["bloom"] = jnp.asarray(matrix)
         aux = params
         rep = "str"
 
-    dev["non_null"] = jnp.asarray(non_null.astype(np.int32))
     return rep, dev, aux
 
 
@@ -330,9 +295,7 @@ def _jit_meta_program():
             from .ops import pallas_topk as pk
 
             t_rows = pk.choose_tile(
-                dv.vectors.shape[1],
-                n_pad,
-                pk._round_up(queries.shape[0], pk.LANE),
+                dv.vectors.shape[1], n_pad, pk._pad_b(queries.shape[0])
             )
             if plan_static:
                 alive = pk.tiles_alive_from_chunk_mask(
@@ -402,7 +365,9 @@ class MetaStoreBuilder:
         device-resident jax.Array (zero host roundtrip). For huge device
         arrays, pre-pad to ``scoring.pad_rows(n)`` rows and pass the logical
         row count via ``n_rows`` — ingestion is then zero-copy (no duplicate
-        HBM buffer during build)."""
+        HBM buffer during build). A pre-built ``scoring.DeviceVecs`` (e.g.
+        from ``scoring.materialize_int8_slabs`` for stores too large to ever
+        exist in f32) is adopted as-is; ``n_rows`` is required then."""
         self._vectors = vectors
         self._vectors_n = n_rows
         return self
@@ -465,8 +430,30 @@ class MetaStoreBuilder:
         vectors = self._vectors
         import jax
 
-        from_device = isinstance(vectors, jax.Array)
-        if from_device:
+        pre_built = isinstance(vectors, scoring.DeviceVecs)
+        if pre_built:
+            if self._vectors_n is None:
+                raise OttersError(
+                    "with_vectors(DeviceVecs) requires n_rows (the logical "
+                    "row count; the buffers are padded)"
+                )
+            if self._sort_by is not None:
+                raise OttersError(
+                    "with_sort_by is not supported for pre-built DeviceVecs "
+                    "(generate the slabs in sorted order instead)"
+                )
+            n_rows = int(self._vectors_n)
+            dim = int(vectors.vectors.shape[1])
+            import jax.numpy as _j8
+
+            if vectors.vectors.dtype == _j8.int8:
+                self._storage_dtype = "int8"
+            elif vectors.vectors.dtype == _j8.bfloat16:
+                self._storage_dtype = "bfloat16"
+        from_device = (not pre_built) and isinstance(vectors, jax.Array)
+        if pre_built:
+            pass  # n_rows / dim set above; buffers adopted in the ingest step
+        elif from_device:
             # TPU-native ingestion: vectors already in HBM (generated or
             # streamed on device); no host round-trip.
             n_rows, dim = int(vectors.shape[0]), int(vectors.shape[1])
@@ -538,7 +525,9 @@ class MetaStoreBuilder:
             "int8": _jnp.int8,
             "float32": _jnp.float32,
         }[self._storage_dtype]
-        if from_device:
+        if pre_built:
+            dv = vectors  # adopted as-is (e.g. materialize_int8_slabs)
+        elif from_device:
             dv = scoring.materialize_from_device(
                 vectors, n_valid=n_rows, dtype=_dtype
             )
@@ -567,6 +556,8 @@ class MetaStoreBuilder:
             np.full(n_chunks, c, dtype=np.int32),
             n_rows - np.arange(n_chunks, dtype=np.int64) * c,
         ).astype(np.int32)
+        if device_cols:
+            jax.block_until_ready(device_cols)  # honest zonemap-phase timing
         zonemap_dur = time.perf_counter() - zstart
 
         store = MetaStore(self._schema)
@@ -844,17 +835,15 @@ class MetaStore:
             )
         tile = scoring.choose_mode(n_pad, b, k_eff)
         fast = False
-        if (
-            tile == "panel"
-            and metric is not Metric.Manhattan
-            and dv.vectors.dtype != jnp.int8
-        ):
+        if tile == "panel" and metric is not Metric.Manhattan:
             from .ops import pallas_topk as pk
 
             if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):
                 tile = "pallas"
-                fast = not strict and pk.fast_ok(
-                    metric, take_min, cmp, k_eff, self.precision
+                fast = (
+                    not strict
+                    and dv.vectors.dtype != jnp.int8
+                    and pk.fast_ok(metric, take_min, cmp, k_eff, self.precision)
                 )
         return _meta_query_program(
             dv,

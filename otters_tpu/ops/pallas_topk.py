@@ -43,21 +43,36 @@ from .scoring import (
 
 BIN = 512
 LANE = 128
+SUBLANE = 8
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pad_b(b: int) -> int:
+    """Query-batch padding inside the kernel: 8 sublanes, not 128 lanes.
+
+    The MXU streams the batch through the sublane axis, so a b=1 query costs
+    ~an 8-row matmul per tile instead of a 128-row one — this is what makes
+    tile-skipping pay for single-query filtered search (the reference prunes
+    regardless of batch size, meta.rs:647-691)."""
+    return _round_up(max(b, 1), SUBLANE)
+
+
 def choose_tile(d: int, n_pad: int = 0, b_pad: int = LANE) -> int:
     """Row-tile size under the 16 MB VMEM budget.
 
-    Bounds BOTH the double-buffered [T, D] vector tile (~3 MB each) and the
-    [B_pad, T] score/key working set (~3 copies): small-D stores would
+    Bounds BOTH the double-buffered [T, D] vector tile (f32 in-kernel
+    footprint regardless of storage dtype — int8/bf16 upcast on load) and
+    the [B_pad, T] score/key working set (~3 copies): small-D stores would
     otherwise pick huge T and blow scoped VMEM through the score buffers.
-    Must divide n_pad."""
-    t_by_vd = (3 * (1 << 20)) // (4 * d)
-    t_by_bt = (6 * (1 << 20)) // (4 * 3 * max(b_pad, LANE))
+    Narrow batches get a bigger vector-tile budget: their score buffers are
+    tiny, and fewer grid steps cut the fixed per-step cost that dominates
+    single-query latency. Must divide n_pad."""
+    vd_budget = (3 * (1 << 20)) if b_pad > 32 else (5 * (1 << 20))
+    t_by_vd = vd_budget // (4 * d)
+    t_by_bt = (6 * (1 << 20)) // (4 * 3 * max(b_pad, SUBLANE))
     t = min(t_by_vd, t_by_bt)
     t = max(BIN, (t // BIN) * BIN)
     if n_pad:
@@ -81,14 +96,15 @@ def _kernel(
     cmp: Optional[Cmp],
     prec: str,
     nb: int,
+    bo: int,
 ):
     g = pl.program_id(0)
     real = g < ns_ref[0]
 
     @pl.when(real)
     def _():
-        q = q_ref[:]  # [B_pad, D]
-        v = v_ref[:].astype(jnp.float32)  # [T, D] (bf16 storage upcasts here)
+        q = q_ref[:]  # [b_pad, D] (b_pad = 8-sublane-padded batch)
+        v = v_ref[:].astype(jnp.float32)  # [T, D] (bf16/int8 upcast here)
         dn = (((1,), (1,)), ((), ()))
         if prec == "high":
             # Mosaic has no Precision.HIGH lowering; do bf16_3x by hand:
@@ -110,13 +126,24 @@ def _kernel(
                 dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
                 precision=_precision(prec),
-            )  # [B_pad, T]
+            )  # [b_pad, T]
         inv = aux_ref[0, :][None, :]
         nsq = aux_ref[1, :][None, :]
         rmask = aux_ref[2, :][None, :]
-        q_inv = qaux_ref[0, :][:, None]
-        q_sq = qaux_ref[1, :][:, None]
-        q_ok = qaux_ref[2, :][:, None]
+        # query aux is lane-major [4, bo] (bo = 128-multiple, clean layout).
+        # Relayout lanes->sublanes first, THEN 2-D-slice to b_pad rows:
+        # fusing both into one indexing op lowers to a gather Mosaic rejects.
+        b_pad = q.shape[0]
+
+        def _qcol(row):
+            col = qaux_ref[row, :][:, None]  # [bo, 1]
+            if b_pad < col.shape[0]:
+                col = jax.lax.slice(col, (0, 0), (b_pad, 1))
+            return col
+
+        q_inv = _qcol(0)
+        q_sq = _qcol(1)
+        q_ok = _qcol(2)
 
         if metric is Metric.Cosine:
             scores = dots * q_inv * inv
@@ -132,11 +159,16 @@ def _kernel(
         if take_min:
             key = -key
         for j in range(nb):
-            out_ref[0, j, :] = jnp.max(key[:, j * BIN : (j + 1) * BIN], axis=1)
+            m = jnp.max(key[:, j * BIN : (j + 1) * BIN], axis=1)  # [b_pad]
+            if bo > b_pad:  # pad to the 128-lane output block
+                m = jnp.concatenate(
+                    [m, jnp.full((bo - b_pad,), -jnp.inf, dtype=m.dtype)]
+                )
+            out_ref[0, j, :] = m
 
-    @pl.when(jnp.logical_not(real))
-    def _():
-        out_ref[0] = jnp.full_like(out_ref[0], -jnp.inf)
+    # dead steps write NOTHING: their out block aliases the last live step's
+    # (see out_specs index_map), so pruned tiles cost no DMA, no MXU and no
+    # VPU fill — phase 2 masks the never-written slots by survivor count
 
 
 def fast_ok(metric: Metric, take_min: bool, cmp, k: int, prec: str) -> bool:
@@ -197,11 +229,27 @@ def pallas_topk(
     """
     n_pad, d = vectors.shape
     b = queries.shape[0]
-    b_pad = _round_up(b, LANE)
+    if vectors.dtype == jnp.int8:
+        # quantized-cosine storage: quantize queries symmetrically and run the
+        # MXU at DEFAULT (bf16) precision — int8 values and their partial
+        # products are exactly representable, so bf16 loses nothing here
+        from .scoring import _quantize_rows_int8
+
+        q8, _, _ = _quantize_rows_int8(queries)
+        queries = q8.astype(jnp.float32)
+        prec = "default"
+    b_pad = _pad_b(b)
+    bo = _round_up(b_pad, LANE)  # output block lane width
     t = choose_tile(d, n_pad, b_pad)
     assert n_pad % t == 0, (n_pad, t)
     n_tiles = n_pad // t
     nb = t // BIN
+    if tile_alive.shape[0] != n_tiles:
+        raise ValueError(
+            f"tile_alive has {tile_alive.shape[0]} tiles but this shape "
+            f"(n_pad={n_pad}, b={b}) uses {n_tiles} tiles of {t} rows — "
+            f"compute the tile size with choose_tile(d, n_pad, _pad_b(b))"
+        )
 
     if fast:
         assert fast_ok(metric, take_min, cmp, k, prec)
@@ -222,7 +270,7 @@ def pallas_topk(
 
     q_sq, q_inv = _query_norms(queries)
     q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
-    qaux = jnp.zeros((4, b_pad), jnp.float32)
+    qaux = jnp.zeros((4, bo), jnp.float32)
     qaux = qaux.at[0, :b].set(q_inv).at[1, :b].set(q_sq)
     qaux = qaux.at[2, :b].set(1.0)
 
@@ -255,6 +303,10 @@ def pallas_topk(
     # tile 0 is fetched (and ignored) instead
     surv = jnp.clip(jnp.where(g < n_surv, surv_raw, last), 0, n_tiles - 1)
 
+    # dead grid steps (g >= n_surv) alias the LAST live step's output block:
+    # Pallas defers the copy-out while the block index is unchanged, so the
+    # pruned tail costs only grid bookkeeping. Their slots are never written
+    # (garbage) and phase 2 masks them by survivor count.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -262,17 +314,22 @@ def pallas_topk(
             pl.BlockSpec((b_pad, d), lambda g, s, n, th: (0, 0)),
             pl.BlockSpec((t, d), lambda g, s, n, th: (s[g], 0)),
             pl.BlockSpec((4, t), lambda g, s, n, th: (0, s[g])),
-            pl.BlockSpec((4, b_pad), lambda g, s, n, th: (0, 0)),
+            pl.BlockSpec((4, bo), lambda g, s, n, th: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, nb, b_pad), lambda g, s, n, th: (g, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, nb, bo),
+            lambda g, s, n, th: (
+                jnp.minimum(g, jnp.maximum(n[0] - 1, 0)), 0, 0,
+            ),
+        ),
     )
     bins = pl.pallas_call(
         partial(
             _kernel, metric=metric, take_min=take_min, cmp=cmp, prec=prec1,
-            nb=nb,
+            nb=nb, bo=bo,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, b_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nb, bo), jnp.float32),
         interpret=interpret,
     )(
         surv,
@@ -285,8 +342,12 @@ def pallas_topk(
     )
 
     # ---- phase 2 (XLA): winner-bin gather + exact rescore ----
-    flat = bins.reshape(-1)  # [n_tiles * nb * b_pad], slot -> (g, j, q)
+    flat = bins.reshape(-1)  # [n_tiles * nb * bo], slot -> (g, j, q)
     n_slots = flat.shape[0]
+    # slots of dead grid steps were never written (garbage, possibly NaN);
+    # mask them BEFORE the top-k so they cannot displace real candidates
+    slot_g = jnp.arange(n_slots, dtype=jnp.int32) // (nb * bo)
+    flat = jnp.where(slot_g < n_surv, flat, -jnp.inf)
     if fast:
         kb = min(4 * k, n_slots)
         sel_n = min(kb + 1, n_slots)
@@ -302,9 +363,12 @@ def pallas_topk(
         kb = min(k, n_slots)
         boundary = jnp.float32(-jnp.inf)
         _, top_slots = exact_topk_flat(flat, kb)
-    gsel = top_slots // (nb * b_pad)
-    jsel = (top_slots // b_pad) % nb
-    qsel = top_slots % b_pad
+    gsel = top_slots // (nb * bo)
+    jsel = (top_slots // bo) % nb
+    qsel = top_slots % bo
+    # lanes past b_pad are -inf fill; clamp the gather (those slots are
+    # masked out below via qsel < b)
+    qsel_c = jnp.minimum(qsel, b_pad - 1)
     tile_sel = surv[gsel]  # slot -> actual tile index
 
     rows = (
@@ -313,8 +377,8 @@ def pallas_topk(
         + jnp.arange(BIN, dtype=jnp.int32)[None, :]
     )  # [kb, BIN]
     rows_flat = rows.reshape(-1)
-    v_cand = vectors[rows_flat]  # [kb*BIN, d]
-    q_cand = q_pad[qsel]  # [kb, d]
+    v_cand = vectors[rows_flat].astype(jnp.float32)  # [kb*BIN, d]
+    q_cand = q_pad[qsel_c]  # [kb, d]
     dots = jax.lax.dot_general(
         q_cand[:, None, :],
         v_cand.reshape(kb, BIN, d),
@@ -323,10 +387,12 @@ def pallas_topk(
         precision=_precision(prec),
     ).reshape(kb, BIN)
     if metric is Metric.Cosine:
-        scores = dots * q_inv_pad(q_inv, b_pad)[qsel][:, None] * inv_norms[rows]
+        scores = (
+            dots * q_inv_pad(q_inv, b_pad)[qsel_c][:, None] * inv_norms[rows]
+        )
     elif metric is Metric.Euclidean:
         scores = (
-            q_sq_pad(q_sq, b_pad)[qsel][:, None] + norms_sq[rows] - 2.0 * dots
+            q_sq_pad(q_sq, b_pad)[qsel_c][:, None] + norms_sq[rows] - 2.0 * dots
         )
     else:
         scores = dots
@@ -378,12 +444,7 @@ def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
         return False
     if k > 1024 or n_pad % BIN != 0:
         return False
-    if b * 4 < LANE:
-        # the kernel pads the batch to 128 lanes; below ~32 queries the
-        # padding waste exceeds what tile-skipping saves — the XLA panel
-        # path (which scales with the true b) wins
-        return False
-    b_pad = _round_up(b, LANE)
+    b_pad = _pad_b(b)
     t = choose_tile(d, n_pad, b_pad)
     if n_pad % t != 0:
         return False

@@ -139,6 +139,50 @@ def materialize_from_device(
     return DeviceVecs(vecs, norms_sq, inv_norms, valid)
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _int8_ingest_slab(buf8, norms_sq, inv, slab_f32, start):
+    """Quantize one f32 slab and write it into the donated int8 buffers.
+
+    ``start`` is a traced scalar so every slab reuses one compilation; the
+    donated buffers make the update in-place (no second 10M-row copy in HBM).
+    """
+    v8, nsq, iv = _quantize_rows_int8(slab_f32)
+    buf8 = jax.lax.dynamic_update_slice(buf8, v8, (start, 0))
+    norms_sq = jax.lax.dynamic_update_slice(norms_sq, nsq, (start,))
+    inv = jax.lax.dynamic_update_slice(inv, iv, (start,))
+    return buf8, norms_sq, inv
+
+
+def materialize_int8_slabs(slab_fn, n: int, d: int, slab_rows: int) -> DeviceVecs:
+    """Build an int8 DeviceVecs too large to ever exist in f32 on-chip.
+
+    ``slab_fn(start, rows)`` must return a device (or host) f32 ``[rows, d]``
+    block of rows ``start .. start+rows`` (indices past ``n`` may hold
+    anything — validity masks them out of every query). Slabs are quantized
+    on device and written in place: peak HBM = int8 store + ONE f32 slab.
+    This is the 10M x 768 ingest path (30.7 GB f32 > HBM; 7.7 GB int8 fits).
+    """
+    import jax.numpy as _jnp
+
+    n_pad = pad_rows(n)
+    buf8 = _jnp.zeros((n_pad, d), _jnp.int8)
+    norms_sq = _jnp.zeros((n_pad,), _jnp.float32)
+    inv = _jnp.zeros((n_pad,), _jnp.float32)
+    slab_rows = min(slab_rows, n_pad)
+    # full slabs share one compilation (traced start); the odd-size tail
+    # pays one extra compile for its own shape
+    for start in range(0, n_pad, slab_rows):
+        rows = min(slab_rows, n_pad - start)
+        slab = _jnp.asarray(slab_fn(start, rows), dtype=_jnp.float32)
+        buf8, norms_sq, inv = _int8_ingest_slab(
+            buf8, norms_sq, inv, slab, _jnp.int32(start)
+        )
+    valid = _jnp.arange(n_pad, dtype=_jnp.int32) < n
+    # rows in [n, n_pad) come from slab_fn padding (zeros): quantized norms
+    # and inv stay 0 there, and `valid` masks them out of every query
+    return DeviceVecs(buf8, norms_sq, inv, valid)
+
+
 @jax.jit
 def _device_norms(vecs):
     v32 = vecs.astype(jnp.float32)
@@ -707,21 +751,18 @@ def run_vec_topk(
     mode = choose_mode(n_pad, b, k_eff)
     args = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm, thr_arr)
     kwargs = dict(metric=metric, k=k_eff, take_min=take_min, cmp=cmp_eff, prec=prec)
-    if (
-        mode == "panel"
-        and metric is not Metric.Manhattan
-        and dv.vectors.dtype != jnp.int8
-    ):
+    if mode == "panel" and metric is not Metric.Manhattan:
         # upgrade to the fused Pallas kernel on TPU (skips nothing here but
-        # never materializes the score matrix)
+        # never materializes the score matrix); int8 storage rides it too
+        # (quantized queries + bf16 MXU, exact w.r.t. the stored int8)
         from . import pallas_topk as pk
 
         if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):
-            t = pk.choose_tile(
-                dv.vectors.shape[1], n_pad, pk._round_up(b, pk.LANE)
-            )
+            t = pk.choose_tile(dv.vectors.shape[1], n_pad, pk._pad_b(b))
             alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
-            fast = pk.fast_ok(metric, take_min, cmp_eff, k_eff, prec)
+            fast = dv.vectors.dtype != jnp.int8 and pk.fast_ok(
+                metric, take_min, cmp_eff, k_eff, prec
+            )
             rows, scores, valid, check = pk.pallas_topk(
                 *args[:5], rm, thr_arr, alive, fast=fast, **kwargs
             )

@@ -71,7 +71,7 @@ def _run_pallas(dv, queries, tile_alive, row_mask=None, thr=None, cmp=None,
 def test_pallas_matches_oracle_dot(data):
     vectors, queries, dv = data
     n_pad = dv.vectors.shape[0]
-    t = pk.choose_tile(vectors.shape[1], n_pad)
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
     alive = jnp.ones(n_pad // t, dtype=bool)
     rows, scores, ok = _run_pallas(dv, queries, alive)
     want = _oracle(vectors, queries, Metric.DotProduct, 12, False)
@@ -86,7 +86,7 @@ def test_pallas_matches_oracle_dot(data):
 def test_pallas_matches_oracle_metrics(data, metric, take_min):
     vectors, queries, dv = data
     n_pad = dv.vectors.shape[0]
-    t = pk.choose_tile(vectors.shape[1], n_pad)
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
     alive = jnp.ones(n_pad // t, dtype=bool)
     rows, scores, ok = _run_pallas(
         dv, queries, alive, metric=metric, take_min=take_min
@@ -100,7 +100,7 @@ def test_pallas_skips_dead_tiles_exactly(data):
     vectors, queries, dv = data
     n_pad = dv.vectors.shape[0]
     d = vectors.shape[1]
-    t = pk.choose_tile(d, n_pad)
+    t = pk.choose_tile(d, n_pad, pk._pad_b(queries.shape[0]))
     n_tiles = n_pad // t
     # rows 0..t-1 dead (tile 0), row_mask excludes them too (soundness contract)
     alive = jnp.asarray(np.arange(n_tiles) != 0)
@@ -117,7 +117,7 @@ def test_pallas_skips_dead_tiles_exactly(data):
 def test_pallas_filter_and_mask(data):
     vectors, queries, dv = data
     n_pad = dv.vectors.shape[0]
-    t = pk.choose_tile(vectors.shape[1], n_pad)
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
     alive = jnp.ones(n_pad // t, dtype=bool)
     row_mask = np.zeros(n_pad, dtype=bool)
     row_mask[::3] = True
@@ -137,7 +137,7 @@ def test_fast_exact_mode_matches_strict(data):
     """Verified fast-exact (HIGH phase-1 + exact rescore) == strict results."""
     vectors, queries, dv = data
     n_pad = dv.vectors.shape[0]
-    t = pk.choose_tile(vectors.shape[1], n_pad)
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
     alive = jnp.ones(n_pad // t, dtype=bool)
     assert pk.fast_ok(Metric.Cosine, False, Cmp.Gt, 10, "highest")
     assert not pk.fast_ok(Metric.Euclidean, True, None, 10, "highest")
@@ -172,7 +172,7 @@ def test_fast_exact_check_fails_safe():
     queries = base[None, :]
     dv = scoring.materialize(vectors)
     n_pad = dv.vectors.shape[0]
-    t = pk.choose_tile(d, n_pad)
+    t = pk.choose_tile(d, n_pad, pk._pad_b(1))
     alive = jnp.ones(n_pad // t, dtype=bool)
     rows, scores, ok, check = pk.pallas_topk(
         dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
@@ -193,3 +193,75 @@ def test_tiles_alive_from_chunk_mask():
     cm3 = jnp.asarray(np.array([False, False]))
     alive3 = pk.tiles_alive_from_chunk_mask(cm3, 512, 1024, 512)
     np.testing.assert_array_equal(np.asarray(alive3), [False, False])
+
+
+def test_pallas_narrow_batch_b1(data):
+    """b=1 (8-sublane padding, bo=128 lane fill) must stay exact, with and
+    without pruning — the small-batch pruning path (meta.rs:647-691 prunes
+    regardless of batch size)."""
+    vectors, _, dv = data
+    rng = np.random.default_rng(21)
+    q1 = rng.normal(size=(1, vectors.shape[1])).astype(np.float32)
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(1))
+    n_tiles = n_pad // t
+    alive = jnp.ones(n_tiles, dtype=bool)
+    rows, scores, ok = _run_pallas(dv, q1, alive, metric=Metric.Cosine, k=9)
+    want = _oracle(vectors, q1, Metric.Cosine, 9, False)
+    assert ok.all()
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-5)
+
+    # pruned: only tile 1 alive, mask matches
+    alive2 = jnp.asarray(np.arange(n_tiles) == 1)
+    row_mask = np.zeros(n_pad, dtype=bool)
+    row_mask[t : 2 * t] = True
+    rows2, scores2, ok2 = _run_pallas(
+        dv, q1, alive2, row_mask=row_mask, metric=Metric.Cosine, k=9
+    )
+    want2 = _oracle(
+        vectors, q1, Metric.Cosine, 9, False,
+        row_mask=row_mask[: len(vectors)],
+    )
+    np.testing.assert_allclose(scores2[ok2], want2[: ok2.sum()], rtol=1e-5, atol=1e-5)
+    assert all(t <= r < 2 * t for r in rows2[ok2])
+
+
+@pytest.mark.parametrize("b", [1, 5, 8, 13])
+def test_pallas_narrow_batches_match_oracle(data, b):
+    vectors, _, dv = data
+    rng = np.random.default_rng(22 + b)
+    q = rng.normal(size=(b, vectors.shape[1])).astype(np.float32)
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(b))
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    rows, scores, ok = _run_pallas(
+        dv, q, alive, metric=Metric.Euclidean, take_min=True, k=11
+    )
+    want = _oracle(vectors, q, Metric.Euclidean, 11, True)
+    np.testing.assert_allclose(scores[ok], want[: ok.sum()], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_int8_quantized_cosine(data):
+    """int8 storage through the kernel: results must equal the XLA int8 path
+    (same quantized-cosine math), bit-for-bit on rows."""
+    vectors, queries, dv_f32 = data
+    dv8 = scoring.materialize(vectors, dtype=jnp.int8)
+    n_pad = dv8.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    rows, scores, ok, check = pk.pallas_topk(
+        dv8.vectors, dv8.norms_sq, dv8.inv_norms, dv8.valid,
+        jnp.asarray(queries), None, jnp.float32(0.0), alive,
+        metric=Metric.Cosine, k=10, take_min=False, cmp=None,
+        interpret=True,
+    )
+    rows, scores, ok = np.asarray(rows), np.asarray(scores), np.asarray(ok)
+    assert ok.all()
+    # XLA oracle on the same quantized data
+    want_rows, want_scores, want_ok = scoring.run_vec_topk(
+        dv8, queries, Metric.Cosine, 10, take_min=False, cmp=None, thr=None
+    )
+    assert sorted(rows.tolist()) == sorted(np.asarray(want_rows).tolist())
+    np.testing.assert_allclose(
+        np.sort(scores), np.sort(np.asarray(want_scores)), rtol=1e-5, atol=1e-5
+    )

@@ -19,7 +19,7 @@ def test_pallas_all_tiles_pruned_no_oob():
     n, d = 16384, 128
     dv = scoring.materialize(rng.normal(size=(n, d)).astype(np.float32))
     n_pad = dv.vectors.shape[0]
-    t = pk.choose_tile(d, n_pad)
+    t = pk.choose_tile(d, n_pad, pk._pad_b(2))
     alive = jnp.zeros(n_pad // t, dtype=bool)
     row_mask = jnp.zeros(n_pad, dtype=bool)  # soundness contract
     rows, scores, ok, check = pk.pallas_topk(
@@ -40,7 +40,7 @@ def test_pallas_dead_slots_no_duplicate_rows():
     vectors = rng.normal(size=(n, d)).astype(np.float32)
     dv = scoring.materialize(vectors)
     n_pad = dv.vectors.shape[0]
-    t = pk.choose_tile(d, n_pad)
+    t = pk.choose_tile(d, n_pad, pk._pad_b(1))
     n_tiles = n_pad // t
     alive = jnp.asarray(np.arange(n_tiles) == 0)  # one alive tile
     row_mask = np.zeros(n_pad, dtype=bool)
