@@ -819,11 +819,17 @@ class MetaStore:
         return cached
 
     # -- device program hook (overridden by ShardedMetaStore) ----------------
-    def _run_query_program(
+    def _prepare_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
         take_min, cmp, strict=False,
     ):
+        """-> (compiled_executable, dynamic_args). Routed through the AOT
+        cache (otters_tpu.aot): the first compile per signature persists the
+        serialized executable so later PROCESSES skip the minutes-long
+        Mosaic/XLA compile entirely."""
         import jax.numpy as jnp
+
+        from . import aot
 
         dv = self._dv
         n_pad = dv.vectors.shape[0]
@@ -845,13 +851,7 @@ class MetaStore:
                     and dv.vectors.dtype != jnp.int8
                     and pk.fast_ok(metric, take_min, cmp, k_eff, self.precision)
                 )
-        return _meta_query_program(
-            dv,
-            cols_sub,
-            self._chunk_lens,
-            jnp.asarray(queries),
-            plan_params,
-            jnp.float32(thr),
+        static_kwargs = dict(
             plan_static=plan_static,
             metric=metric,
             k=k_eff,
@@ -862,6 +862,78 @@ class MetaStore:
             chunk_size=self._chunk_size,
             fast=fast,
         )
+        args = (
+            dv,
+            cols_sub,
+            self._chunk_lens,
+            jnp.asarray(queries),
+            plan_params,
+            jnp.float32(thr),
+        )
+        key = aot.signature(
+            "meta_query", repr(sorted(static_kwargs.items(), key=str)), args, {}
+        )
+        compiled = aot.lookup(key) or aot.load_or_compile(
+            key, _meta_query_program, args, static_kwargs
+        )
+        return compiled, args
+
+    def _run_query_program(
+        self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
+        take_min, cmp, strict=False,
+    ):
+        compiled, args = self._prepare_program(
+            cols_sub, queries, plan_params, thr, plan_static, metric, k,
+            take_min, cmp, strict=strict,
+        )
+        return compiled(*args)
+
+    def precompile(
+        self,
+        filters=None,
+        batch_sizes=(1, 256),
+        k: int = 10,
+        metric: Metric = Metric.Cosine,
+        with_vec_filter: bool = False,
+    ) -> int:
+        """Ready (compile or AOT-load) the device programs a deployment
+        serves, off the query path. ``filters`` is a list of expressions
+        (None = unfiltered); each is combined with every batch size. The
+        first process pays the compiles and persists serialized executables
+        (~MBs) to the AOT disk cache; subsequent processes deserialize in
+        well under a second. Returns the number of programs readied."""
+        count = 0
+        for expr in filters if filters is not None else [None]:
+            for b in batch_sizes:
+                plan = MetaQueryPlan(
+                    self, np.zeros((int(b), self._dim), np.float32), metric
+                )
+                if expr is not None:
+                    plan.meta_filter(expr)
+                    if plan._meta_error is not None:
+                        raise OttersError(plan._meta_error)
+                has_filter = (
+                    plan._meta_filter is not None
+                    and len(plan._meta_filter.clauses) > 0
+                )
+                if has_filter and self.n_chunks() > 0:
+                    plan_static, plan_params, used = plan._lower_plan()
+                    cols_sub = {nm: self._device_cols[nm] for nm in used}
+                else:
+                    plan_static, plan_params, cols_sub = (), (), {}
+                take_min = default_take_type(metric) is TakeType.Min
+                variants = [(0.0, None)]
+                if with_vec_filter:
+                    variants.append(
+                        (0.0, Cmp.Lt if take_min else Cmp.Gt)
+                    )
+                for thr, cmp in variants:
+                    self._prepare_program(
+                        cols_sub, plan._queries, plan_params, thr,
+                        plan_static, metric, k, take_min, cmp,
+                    )
+                    count += 1
+        return count
 
     # -- query ---------------------------------------------------------------
     def query(self, query, metric: Metric) -> "MetaQueryPlan":

@@ -33,6 +33,17 @@ _I32 = np.iinfo(np.int32)
 _U32_MAX = np.uint32(0xFFFFFFFF)
 
 
+def _aot_call(name: str, jitted, args, statics):
+    """Route a zonemap program through the AOT executable cache: build-time
+    compiles persist to disk like the query programs (otters_tpu.aot), so a
+    fresh process's store build does not wait on the compile service."""
+    from .. import aot
+
+    key = aot.signature(name, repr(sorted(statics.items())), args, {})
+    compiled = aot.lookup(key) or aot.load_or_compile(key, jitted, args, statics)
+    return compiled(*args)
+
+
 def _chunk_view(x, excl_fill, *, c: int, n_chunks: int):
     """Pad [n] -> [n_chunks * c] with excl_fill and reshape to [n_chunks, c]."""
     L = n_chunks * c
@@ -55,7 +66,7 @@ def _non_null(nulls, *, c: int, n_chunks: int):
 
 
 @partial(jax.jit, static_argnames=("c", "n_chunks", "n_pad"))
-def build_i32(vals, nulls, *, c: int, n_chunks: int, n_pad: int):
+def _build_i32_jit(vals, nulls, *, c: int, n_chunks: int, n_pad: int):
     lo = jnp.where(nulls, jnp.int32(_I32.max), vals)
     hi = jnp.where(nulls, jnp.int32(_I32.min), vals)
     zmin = _chunk_view(lo, jnp.int32(_I32.max), c=c, n_chunks=n_chunks).min(1)
@@ -70,7 +81,7 @@ def build_i32(vals, nulls, *, c: int, n_chunks: int, n_pad: int):
 
 
 @partial(jax.jit, static_argnames=("c", "n_chunks", "n_pad"))
-def build_f32(vals, nulls, *, c: int, n_chunks: int, n_pad: int):
+def _build_f32_jit(vals, nulls, *, c: int, n_chunks: int, n_pad: int):
     # null sentinel is NaN; real NaN values are skipped by the fold too,
     # exactly like np.fmin/np.fmax (reference meta_compute.rs:84-98)
     excl = nulls | jnp.isnan(vals)
@@ -116,7 +127,7 @@ _I64MIN_HI, _I64MIN_LO = jnp.int32(_I32.min), jnp.uint32(0)
 
 
 @partial(jax.jit, static_argnames=("c", "n_chunks", "n_pad"))
-def build_w64(hi, lo, nulls, *, c: int, n_chunks: int, n_pad: int):
+def _build_w64_jit(hi, lo, nulls, *, c: int, n_chunks: int, n_pad: int):
     """Int64 / DateTime zonemaps over exact (hi i32, lo u32) pairs."""
     zmin_hi, zmin_lo = _pair_chunk_min(
         hi, lo, nulls, _I64MAX_HI, _I64MAX_LO, jnp.uint32(_U32_MAX),
@@ -145,7 +156,7 @@ _NINF_LO = jnp.uint32(wide64.F64_ORD_NINF[1])
 
 
 @partial(jax.jit, static_argnames=("c", "n_chunks", "n_pad"))
-def build_w64f(hi, lo, nulls, *, c: int, n_chunks: int, n_pad: int):
+def _build_w64f_jit(hi, lo, nulls, *, c: int, n_chunks: int, n_pad: int):
     """Float64 zonemaps over the ordered-integer (hi u32, lo u32) domain.
 
     Nulls are stored as NaN (ordered domain > +inf) and real NaN values are
@@ -176,7 +187,7 @@ def build_w64f(hi, lo, nulls, *, c: int, n_chunks: int, n_pad: int):
 
 
 @partial(jax.jit, static_argnames=("c", "n_chunks", "n_pad"))
-def build_str_rows(rh_hi, rh_lo, nulls, *, c: int, n_chunks: int, n_pad: int):
+def _build_str_rows_jit(rh_hi, rh_lo, nulls, *, c: int, n_chunks: int, n_pad: int):
     """String row state: padded identity-hash halves + per-chunk non-null.
 
     (The Bloom bit matrix itself is built from host-side string hashes —
@@ -188,3 +199,38 @@ def build_str_rows(rh_hi, rh_lo, nulls, *, c: int, n_chunks: int, n_pad: int):
         "null": _pad_rows(nulls, n_pad, True),
         "non_null": _non_null(nulls, c=c, n_chunks=n_chunks),
     }
+
+
+def build_i32(vals, nulls, *, c: int, n_chunks: int, n_pad: int):
+    return _aot_call(
+        "zm_build_i32", _build_i32_jit, (vals, nulls),
+        dict(c=c, n_chunks=n_chunks, n_pad=n_pad),
+    )
+
+
+def build_f32(vals, nulls, *, c: int, n_chunks: int, n_pad: int):
+    return _aot_call(
+        "zm_build_f32", _build_f32_jit, (vals, nulls),
+        dict(c=c, n_chunks=n_chunks, n_pad=n_pad),
+    )
+
+
+def build_w64(hi, lo, nulls, *, c: int, n_chunks: int, n_pad: int):
+    return _aot_call(
+        "zm_build_w64", _build_w64_jit, (hi, lo, nulls),
+        dict(c=c, n_chunks=n_chunks, n_pad=n_pad),
+    )
+
+
+def build_w64f(hi, lo, nulls, *, c: int, n_chunks: int, n_pad: int):
+    return _aot_call(
+        "zm_build_w64f", _build_w64f_jit, (hi, lo, nulls),
+        dict(c=c, n_chunks=n_chunks, n_pad=n_pad),
+    )
+
+
+def build_str_rows(rh_hi, rh_lo, nulls, *, c: int, n_chunks: int, n_pad: int):
+    return _aot_call(
+        "zm_build_str_rows", _build_str_rows_jit, (rh_hi, rh_lo, nulls),
+        dict(c=c, n_chunks=n_chunks, n_pad=n_pad),
+    )
