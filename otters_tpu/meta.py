@@ -813,6 +813,13 @@ class MetaStore:
         chunk_any = (
             np.logical_or.reduceat(m, offs) if n else np.zeros(0, bool)
         )
+        # pad to the store's chunk-array length (sharded stores re-pad the
+        # chunk axis so it splits evenly across shards)
+        n_chunks_dev = int(self._chunk_lens.shape[0])
+        if n_chunks_dev != len(chunk_any):
+            pad = np.zeros(n_chunks_dev, dtype=bool)
+            pad[: len(chunk_any)] = chunk_any
+            chunk_any = pad
         cached = (jnp.asarray(row), jnp.asarray(chunk_any))
         if len(self._hostmask_cache) < 128:
             self._hostmask_cache[key] = cached

@@ -210,6 +210,7 @@ def pallas_topk(
     prec: str = "highest",
     interpret: bool = False,
     fast: bool = False,
+    q_valid=None,
 ):
     """Fused pruned scoring + exact top-k.
 
@@ -227,6 +228,7 @@ def pallas_topk(
 
     Returns (rows[k], scores[k], valid[k], check).
     """
+    interpret = interpret or interpret_forced()
     n_pad, d = vectors.shape
     b = queries.shape[0]
     if vectors.dtype == jnp.int8:
@@ -272,7 +274,11 @@ def pallas_topk(
     q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
     qaux = jnp.zeros((4, bo), jnp.float32)
     qaux = qaux.at[0, :b].set(q_inv).at[1, :b].set(q_sq)
-    qaux = qaux.at[2, :b].set(1.0)
+    # q_ok lane: padded batch rows AND caller-invalid queries (e.g. batch-
+    # axis padding inside shard_map) never contribute candidates
+    qaux = qaux.at[2, :b].set(
+        1.0 if q_valid is None else q_valid.astype(jnp.float32)
+    )
 
     rmask01 = valid.astype(jnp.float32)
     if row_mask is not None:
@@ -404,6 +410,9 @@ def pallas_topk(
     # without this guard they could re-contribute (duplicate) its rows
     ok = ok & (gsel < n_surv)[:, None]
     ok = ok & (qsel[:, None] < b) & ~jnp.isnan(scores)
+    if q_valid is not None:
+        qv_pad = jnp.zeros((b_pad,), jnp.bool_).at[:b].set(q_valid)
+        ok = ok & qv_pad[qsel_c][:, None]
     if cmp is not None:
         ok = ok & _filter_ok(scores, thr, cmp)
     key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
@@ -431,6 +440,14 @@ def q_sq_pad(q_sq, b_pad):
     return jnp.zeros((b_pad,), jnp.float32).at[: q_sq.shape[0]].set(q_sq)
 
 
+def interpret_forced() -> bool:
+    """OTTERS_PALLAS_INTERPRET=1 runs the kernel in interpret mode on any
+    backend — used by CPU test meshes to exercise the exact pallas paths."""
+    import os
+
+    return bool(os.environ.get("OTTERS_PALLAS_INTERPRET"))
+
+
 def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
     """Can the fused kernel handle this shape on the current backend?"""
     import os
@@ -438,7 +455,7 @@ def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
     if os.environ.get("OTTERS_DISABLE_PALLAS"):
         return False
     try:
-        if jax.devices()[0].platform != "tpu":
+        if jax.devices()[0].platform != "tpu" and not interpret_forced():
             return False
     except Exception:
         return False

@@ -20,8 +20,10 @@ from typing import Dict
 
 import numpy as np
 
+from ..errors import OttersError
 from ..meta import MetaStore, MetaStoreBuilder
 from ..ops import predicate, scoring
+from ..types import Metric
 
 
 def _jit_sharded_program():
@@ -39,6 +41,8 @@ def _jit_sharded_program():
             "take_min",
             "cmp",
             "prec",
+            "tile",
+            "chunk_size",
         ),
     )
     def sharded_meta_query(
@@ -57,6 +61,8 @@ def _jit_sharded_program():
         take_min,
         cmp,
         prec,
+        tile="auto",
+        chunk_size=0,
     ):
         def local_fn(dv_l, cols_l, clens_l, q_l, qv_l, params_l, thr_l):
             n_local = dv_l.vectors.shape[0]
@@ -84,7 +90,6 @@ def _jit_sharded_program():
                 take_min=take_min,
                 cmp=cmp,
                 prec=prec,
-                q_valid=qv_l,
             )
             args = (
                 dv_l.vectors,
@@ -95,12 +100,44 @@ def _jit_sharded_program():
                 rmask,
                 thr_l,
             )
-            if b_local * n_local <= scoring.DIRECT_LIMIT or (
+            if tile == "pallas":
+                # fused kernel per shard: locally-pruned tiles cost neither
+                # HBM nor MXU on their device (requires the chunk axis to be
+                # row-aligned per shard; see ShardedMetaStore.shard)
+                from ..ops import pallas_topk as pk
+
+                t_rows = pk.choose_tile(
+                    dv_l.vectors.shape[1], n_local, pk._pad_b(b_local)
+                )
+                if plan_static:
+                    alive = pk.tiles_alive_from_chunk_mask(
+                        cmask, chunk_size, n_local, t_rows
+                    )
+                else:
+                    alive = jnp.ones(n_local // t_rows, dtype=jnp.bool_)
+                rows, scores, ok, _ = pk.pallas_topk(
+                    dv_l.vectors,
+                    dv_l.norms_sq,
+                    dv_l.inv_norms,
+                    dv_l.valid,
+                    q_l,
+                    rmask,
+                    thr_l,
+                    alive,
+                    fast=False,
+                    q_valid=qv_l,
+                    **kwargs,
+                )
+            elif b_local * n_local <= scoring.DIRECT_LIMIT or (
                 n_local % scoring.PANEL_BIN != 0
             ):
-                rows, scores, ok = scoring.direct_topk_core(*args, **kwargs)
+                rows, scores, ok = scoring.direct_topk_core(
+                    *args, q_valid=qv_l, **kwargs
+                )
             else:
-                rows, scores, ok = scoring.panel_topk_core(*args, **kwargs)
+                rows, scores, ok = scoring.panel_topk_core(
+                    *args, q_valid=qv_l, **kwargs
+                )
             rows = rows + jax.lax.axis_index("rows") * n_local
 
             axes = ("rows", "batch")
@@ -128,6 +165,19 @@ def _jit_sharded_program():
         dv_specs = scoring.DeviceVecs(
             P("rows", None), P("rows"), P("rows"), P("rows")
         )
+        # per-leaf specs for the plan parameters: hostmask leaves carry a
+        # row mask [n_pad] and a chunk mask [n_chunks] sharded along rows;
+        # every other leaf (thresholds, hashes, Bloom probe coords) is
+        # replicated
+        params_specs = tuple(
+            tuple(
+                (P("rows"), P("rows"))
+                if leaf[0] == "hostmask"
+                else tuple(P() for _ in params_leaf)
+                for leaf, params_leaf in zip(clause, clause_params)
+            )
+            for clause, clause_params in zip(plan_static, plan_params)
+        )
         fn = jax.shard_map(
             local_fn,
             mesh=mesh,
@@ -137,7 +187,7 @@ def _jit_sharded_program():
                 P("rows"),
                 P("batch", None),
                 P("batch"),
-                P(),  # thresholds replicated (prefix spec for the pytree)
+                params_specs,
                 P(),
             ),
             out_specs=(P(), P(), P(), P(), P()),
@@ -187,13 +237,25 @@ class ShardedMetaStore(MetaStore):
         out._bloom_config = store._bloom_config
         out._storage_dtype = store._storage_dtype
 
-        # re-pad rows and chunks so both axes split evenly across shards
+        # re-pad rows and chunks so both axes split evenly across shards.
+        # When chunk_size and SCAN_TILE have a small lcm (e.g. power-of-two
+        # chunk sizes), pad so every shard's chunk range exactly covers its
+        # row range — the alignment the per-shard Pallas tile-skipping needs.
+        import math
+
         dv = store._dv
         n_pad = dv.vectors.shape[0]
-        unit = scoring.SCAN_TILE * n_shards
+        cs = store._chunk_size
+        lcm = scoring.SCAN_TILE * cs // math.gcd(scoring.SCAN_TILE, cs)
+        aligned = lcm <= 4 * scoring.SCAN_TILE
+        unit = (lcm if aligned else scoring.SCAN_TILE) * n_shards
         n_pad_s = max(unit, -(-n_pad // unit) * unit)
         n_chunks = store.n_chunks()
-        n_chunks_s = max(n_shards, -(-n_chunks // n_shards) * n_shards)
+        if aligned:
+            n_chunks_s = n_pad_s // cs
+        else:
+            n_chunks_s = max(n_shards, -(-n_chunks // n_shards) * n_shards)
+        out._pallas_aligned = aligned
         out._n_chunks = n_chunks
 
         def put_rows(arr, fill):
@@ -246,6 +308,10 @@ class ShardedMetaStore(MetaStore):
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if self._dv.vectors.dtype == jnp.int8 and metric is not Metric.Cosine:
+            raise OttersError(
+                "int8 quantized storage supports the Cosine metric only"
+            )
         b = queries.shape[0]
         n_batch = self.mesh.shape["batch"]
         b_pad = max(n_batch, -(-b // n_batch) * n_batch)
@@ -257,15 +323,24 @@ class ShardedMetaStore(MetaStore):
         qv = jax.device_put(
             np.arange(b_pad) < b, NamedSharding(self.mesh, P("batch"))
         )
-        from ..errors import OttersError
 
-        for clause in plan_static:
-            for leaf in clause:
-                if leaf[0] == "hostmask":
-                    raise OttersError(
-                        "extended string predicates (contains/starts_with/"
-                        "ends_with) are not yet supported on sharded stores"
-                    )
+        # per-shard scoring strategy (static): the fused Pallas kernel when
+        # the local shapes qualify and the chunk axis is row-aligned per
+        # shard; otherwise the XLA direct/panel paths inside local_fn
+        from ..ops import pallas_topk as pk
+
+        n_shards = self.mesh.shape["rows"]
+        n_local = self._dv.vectors.shape[0] // n_shards
+        b_local = b_pad // n_batch
+        k_eff = min(k, b * self._dv.vectors.shape[0])
+        tile = "auto"
+        if (
+            getattr(self, "_pallas_aligned", False)
+            and metric is not Metric.Manhattan
+            and b_local * n_local > scoring.DIRECT_LIMIT
+            and pk.pallas_ok(n_local, self._dim, b_local, k_eff)
+        ):
+            tile = "pallas"
         rows, scores, ok, ev, re_ = _sharded_meta_query(
             self._dv,
             cols_sub,
@@ -277,10 +352,12 @@ class ShardedMetaStore(MetaStore):
             mesh=self.mesh,
             plan_static=plan_static,
             metric=metric,
-            k=min(k, b * self._dv.vectors.shape[0]),
+            k=k_eff,
             take_min=take_min,
             cmp=cmp,
             prec=self.precision,
+            tile=tile,
+            chunk_size=self._chunk_size,
         )
         return rows, scores, ok, True, ev, re_
 

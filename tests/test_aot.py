@@ -88,7 +88,7 @@ if mode == "save":
 else:
     q = np.random.default_rng(64).normal(size=(2, 16)).astype(np.float32)
     r = store.query_batch(q, Metric.Cosine).take(3).collect()
-    assert aot.stats["disk_hits"] == 1, aot.stats
+    assert aot.stats["disk_hits"] >= 1, aot.stats
     assert aot.stats["compiles"] == 0, aot.stats
     vecs = np.asarray(store._dv.vectors[: store.n_rows])
     qi = 1 / np.linalg.norm(q, axis=1)
@@ -112,7 +112,9 @@ print("OK", mode)
         assert res.returncode == 0, (mode, res.stdout, res.stderr[-2000:])
         assert f"OK {mode}" in res.stdout
     blobs = list(tmp_path.glob("*.jaxexe"))
-    assert len(blobs) == 1 and blobs[0].stat().st_size > 0
+    # meta-query program + the zonemap build program both persist
+    assert len(blobs) >= 1
+    assert all(b.stat().st_size > 0 for b in blobs)
 
 
 def test_signature_distinguishes_shapes_and_statics(store):

@@ -111,3 +111,70 @@ def test_sharded_stats_match(stores):
     ss2 = sharded.last_query_stats()
     assert ss2.evaluated_chunks == local.n_chunks()
     assert ss2.vectors_compared == len(local) * 2
+
+
+def test_sharded_extended_string_predicates():
+    """contains/starts_with/ends_with now run on sharded stores via
+    rows-sharded hostmask tensors; results must match the local store."""
+    rng = np.random.default_rng(55)
+    n, d = 2000, 16
+    names = [f"item_{i % 37}_{'blue' if i % 3 == 0 else 'red'}" for i in range(n)]
+    cols = [Column("name", DataType.String).from_values(names)]
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    local = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(256)
+        .build()
+    )
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = ShardedMetaStore.shard(local, mesh)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    for expr in [
+        col("name").contains("blue"),
+        col("name").starts_with("item_3"),
+        col("name").ends_with("red"),
+        col("name").contains("_1") & col("name").ends_with("blue"),
+    ]:
+        a = local.query_batch(q, Metric.Cosine).meta_filter(expr).take(7).collect()
+        b = sharded.query_batch(q, Metric.Cosine).meta_filter(expr).take(7).collect()
+        assert a.indices == b.indices, expr
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_pallas_tile_skipping(monkeypatch):
+    """The fused kernel runs per shard (interpret mode on the CPU mesh) and
+    must agree exactly with the local store, including chunk pruning."""
+    monkeypatch.setenv("OTTERS_PALLAS_INTERPRET", "1")
+    import otters_tpu.ops.scoring as scoring_mod
+
+    monkeypatch.setattr(scoring_mod, "DIRECT_LIMIT", 1 << 10)
+    rng = np.random.default_rng(56)
+    n, d = 131072, 16
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    price = (np.arange(n) // 1024 % 2 * 50 + np.arange(n) % 10).astype(
+        np.float32
+    )  # even chunks 0-9, odd chunks 50-59
+    cols = [Column("price", DataType.Float32).from_values(price)]
+    local = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(1024)
+        .build()
+    )
+    mesh = make_mesh(rows=8, batch=1)
+    sharded = ShardedMetaStore.shard(local, mesh)
+    assert sharded._pallas_aligned
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    expr = col("price").lt(10.0)
+    b = sharded.query_batch(q, Metric.Cosine).meta_filter(expr).take(9).collect()
+    # exact oracle
+    qi = 1 / np.linalg.norm(q, axis=1)
+    vi = 1 / np.linalg.norm(vectors, axis=1)
+    s = (q @ vectors.T) * qi[:, None] * vi[None, :]
+    s[:, price >= 10.0] = -np.inf
+    want = np.sort(s.reshape(-1))[::-1][:9]
+    np.testing.assert_allclose(b.scores, want, rtol=1e-5, atol=1e-5)
+    assert all(price[i] < 10.0 for i in b.indices)
+    st = sharded.last_query_stats()
+    assert st.evaluated_chunks == 64  # half of 128 real chunks
