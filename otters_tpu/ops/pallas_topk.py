@@ -174,14 +174,15 @@ def _kernel(
 def fast_ok(metric: Metric, take_min: bool, cmp, k: int, prec: str) -> bool:
     """Is the verified fast-exact mode applicable?
 
-    Cosine only (scores are norm-scaled, so the bf16_3x error bound is the
-    dimension-only constant ``high_precision_bound(d)``); Eq score filters
-    need two-sided slack and are excluded; large k makes the 4k-bin
-    candidate set expensive."""
+    All MXU metrics qualify: Cosine scores are norm-scaled so the bf16_3x
+    error bound is the dimension-only constant ``high_precision_bound(d)``;
+    DotProduct/Euclidean carry a norm-scaled slack (bound * max||q|| *
+    max||v||, doubled for the -2*dot term) computed on device. Eq score
+    filters need two-sided slack and are excluded; large k makes the 4k-bin
+    candidate set expensive; Manhattan never touches the MXU."""
     return (
         prec == "highest"
-        and metric is Metric.Cosine
-        and not take_min
+        and metric is not Metric.Manhattan
         and cmp is not Cmp.Eq
         and k <= 128
     )
@@ -253,24 +254,35 @@ def pallas_topk(
             f"compute the tile size with choose_tile(d, n_pad, _pad_b(b))"
         )
 
+    q_sq, q_inv = _query_norms(queries)
     if fast:
         assert fast_ok(metric, take_min, cmp, k, prec)
-        bound = high_precision_bound(d)
+        base = high_precision_bound(d)
+        if metric is Metric.Cosine:
+            # cosine is norm-scaled: the bound is dimension-only
+            slack = jnp.float32(base)
+        else:
+            # |dot_HIGH - dot| <= base * ||q|| * ||v||; bound globally by the
+            # max norms (computed on device, one reduction each). Euclidean
+            # doubles it for the -2*dot term (q^2/v^2 are bit-identical in
+            # both phases and cancel).
+            qmax = jnp.sqrt(jnp.max(q_sq))
+            vmax = jnp.sqrt(jnp.max(norms_sq))
+            mult = 2.0 if metric is Metric.Euclidean else 1.0
+            slack = jnp.float32(base) * qmax * vmax * mult
         prec1 = "high"
         # loosen the phase-1 score filter by the error bound so no row that
         # truly passes can be excluded by HIGH-precision scores
         if cmp in (Cmp.Gt, Cmp.Gte):
-            thr1 = thr - bound
+            thr1 = thr - slack
         elif cmp in (Cmp.Lt, Cmp.Lte):
-            thr1 = thr + bound
+            thr1 = thr + slack
         else:
             thr1 = thr
     else:
-        bound = 0.0
+        slack = jnp.float32(0.0)
         prec1 = prec
         thr1 = thr
-
-    q_sq, q_inv = _query_norms(queries)
     q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
     qaux = jnp.zeros((4, bo), jnp.float32)
     qaux = qaux.at[0, :b].set(q_inv).at[1, :b].set(q_sq)
@@ -426,7 +438,7 @@ def pallas_topk(
     if fast:
         # certify: the k-th exact score must beat anything a skipped bin
         # could hold (its HIGH max plus the sound bound)
-        check = top_keys[-1] >= boundary + bound
+        check = top_keys[-1] >= boundary + slack
     else:
         check = jnp.bool_(True)
     return out_rows, out_scores, out_ok, check

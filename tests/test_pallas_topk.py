@@ -140,8 +140,10 @@ def test_fast_exact_mode_matches_strict(data):
     t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
     alive = jnp.ones(n_pad // t, dtype=bool)
     assert pk.fast_ok(Metric.Cosine, False, Cmp.Gt, 10, "highest")
-    assert not pk.fast_ok(Metric.Euclidean, True, None, 10, "highest")
+    assert pk.fast_ok(Metric.Euclidean, True, None, 10, "highest")  # r2: norm-scaled
     assert not pk.fast_ok(Metric.Cosine, False, Cmp.Eq, 10, "highest")
+    assert not pk.fast_ok(Metric.Manhattan, True, None, 10, "highest")
+    assert not pk.fast_ok(Metric.Cosine, False, None, 10, "default")
 
     strict = _run_pallas(dv, queries, alive, metric=Metric.Cosine, k=10)
     fast = _run_pallas(dv, queries, alive, metric=Metric.Cosine, k=10, fast=True)
@@ -265,3 +267,57 @@ def test_pallas_int8_quantized_cosine(data):
     np.testing.assert_allclose(
         np.sort(scores), np.sort(np.asarray(want_scores)), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("metric,take_min", [
+    (Metric.DotProduct, False),
+    (Metric.Euclidean, True),
+])
+def test_fast_exact_dot_euclid(data, metric, take_min):
+    """Norm-scaled verified fast-exact for the non-normalized metrics."""
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    assert pk.fast_ok(metric, take_min, None, 10, "highest")
+    strict = _run_pallas(dv, queries, alive, metric=metric, take_min=take_min, k=10)
+    fast = _run_pallas(
+        dv, queries, alive, metric=metric, take_min=take_min, k=10, fast=True
+    )
+    np.testing.assert_array_equal(fast[0], strict[0])
+    np.testing.assert_array_equal(fast[1], strict[1])
+
+    # with a score filter (loosened by the norm-scaled slack in phase 1)
+    thr = 2.0 if metric is Metric.DotProduct else 200.0
+    cmp = Cmp.Gt if metric is Metric.DotProduct else Cmp.Lt
+    strict_f = _run_pallas(
+        dv, queries, alive, metric=metric, take_min=take_min, k=10,
+        thr=thr, cmp=cmp,
+    )
+    fast_f = _run_pallas(
+        dv, queries, alive, metric=metric, take_min=take_min, k=10,
+        thr=thr, cmp=cmp, fast=True,
+    )
+    np.testing.assert_array_equal(fast_f[0], strict_f[0])
+    np.testing.assert_array_equal(fast_f[1], strict_f[1])
+
+
+def test_fast_exact_euclid_ties_fail_safe():
+    """Near-identical vectors: the euclid certificate must fail rather than
+    return wrong rows."""
+    rng = np.random.default_rng(6)
+    n, d, k = 16384, 128, 4
+    base = rng.normal(size=d).astype(np.float32) * 10
+    vectors = np.tile(base, (n, 1)) + rng.normal(size=(n, d)).astype(np.float32) * 1e-6
+    queries = (base * 1.01)[None, :]
+    dv = scoring.materialize(vectors)
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(d, n_pad, pk._pad_b(1))
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    rows, scores, ok, check = pk.pallas_topk(
+        dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+        jnp.asarray(queries), None, jnp.float32(0.0), alive,
+        metric=Metric.Euclidean, k=k, take_min=True, cmp=None,
+        interpret=True, fast=True,
+    )
+    assert not bool(np.asarray(check))
