@@ -39,11 +39,31 @@ def cache_dir() -> Optional[str]:
     return env or os.path.expanduser("~/.cache/otters_tpu/aot")
 
 
+_code_salt: Optional[str] = None
+
+
+def _code_version() -> str:
+    """Content hash of the package sources: a code change invalidates every
+    blob (a stale executable would otherwise silently serve the OLD program
+    semantics — the key has no view into the traced computation)."""
+    global _code_salt
+    if _code_salt is None:
+        import glob
+
+        root = os.path.dirname(__file__)
+        h = hashlib.sha256()
+        for p in sorted(glob.glob(os.path.join(root, "**", "*.py"), recursive=True)):
+            with open(p, "rb") as f:
+                h.update(f.read())
+        _code_salt = h.hexdigest()[:12]
+    return _code_salt
+
+
 def _backend_tag() -> str:
     import jax
 
     dev = jax.devices()[0]
-    return f"{jax.__version__}|{dev.platform}|{dev.device_kind}"
+    return f"{jax.__version__}|{dev.platform}|{dev.device_kind}|{_code_version()}"
 
 
 def _aval_sig(tree) -> str:
@@ -147,3 +167,77 @@ def load_or_compile(key: str, jitted, args, static_kwargs):
 def clear_memory_cache() -> None:
     with _lock:
         _mem.clear()
+        _jit_ready.clear()
+        _warming.clear()
+
+
+# --- background jit warm-up -------------------------------------------------
+#
+# Deserialized executables answer the FIRST queries in well under a second,
+# but their Python call path dispatches ~1ms slower per call and pipelines
+# worse than jit's C++ fast path. So while Compiled serves traffic, a
+# background thread warms the jit cache for the same signature; once ready,
+# dispatch switches over (jit steady-state ~7ms/batch vs ~28ms via Compiled
+# at 1M x 768 x 256q).
+
+_jit_ready: set = set()
+_warming: set = set()
+
+
+def jit_is_ready(key: str) -> bool:
+    return key in _jit_ready
+
+
+def ensure_jit_warm(key: str, jitted, args, static_kwargs) -> None:
+    """Compile-and-run ``jitted`` once in a daemon thread; mark ``key`` ready
+    when done. No-op if already ready/warming."""
+    with _lock:
+        if key in _jit_ready or key in _warming:
+            return
+        _warming.add(key)
+
+    def work():
+        import time as _time
+
+        import jax
+
+        # let the first (AOT-served) queries drain before compiling: on
+        # remote-compile backends the compile contends with execution and
+        # would stall the very warm-up the blob just saved
+        _time.sleep(3.0)
+        try:
+            out = jitted(*args, **static_kwargs)
+            jax.block_until_ready(out)
+            with _lock:
+                _jit_ready.add(key)
+        except Exception as e:  # keep serving via the Compiled path
+            stats["warm_fail"] = stats.get("warm_fail", 0) + 1
+            if os.environ.get("OTTERS_AOT_DEBUG"):
+                import traceback
+
+                print(f"aot warm {key[:8]} failed: {e!r}", flush=True)
+                traceback.print_exc()
+        finally:
+            with _lock:
+                _warming.discard(key)
+
+    # non-daemon: a daemon thread killed mid-XLA-compile aborts the process
+    # at interpreter exit; a clean join costs at most one compile wait
+    threading.Thread(
+        target=work, daemon=False, name=f"aot-warm-{key[:8]}"
+    ).start()
+
+
+def wait_jit_ready(timeout: float = 600.0) -> bool:
+    """Block until every in-flight background jit warm finishes (True) or
+    the timeout elapses (False). Useful before latency-sensitive serving or
+    benchmarking: afterwards, dispatch uses jit's fast path."""
+    import time as _time
+
+    t0 = _time.time()
+    while _time.time() - t0 < timeout:
+        with _lock:
+            if not _warming:
+                return True
+        _time.sleep(0.25)
+    return False

@@ -183,6 +183,31 @@ def materialize_int8_slabs(slab_fn, n: int, d: int, slab_rows: int) -> DeviceVec
     return DeviceVecs(buf8, norms_sq, inv, valid)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _f32_ingest_slab(buf, slab, start):
+    return jax.lax.dynamic_update_slice(buf, slab, (start, 0))
+
+
+def materialize_f32_slabs(slab_fn, n: int, d: int, slab_rows: int) -> DeviceVecs:
+    """Build an f32 DeviceVecs slab-by-slab with donated in-place writes.
+
+    Peak HBM = the full store + ONE slab (a plain concatenate would double
+    the store). Same ``slab_fn`` contract as :func:`materialize_int8_slabs`.
+    """
+    import jax.numpy as _jnp
+
+    n_pad = pad_rows(n)
+    buf = _jnp.zeros((n_pad, d), _jnp.float32)
+    slab_rows = min(slab_rows, n_pad)
+    for start in range(0, n_pad, slab_rows):
+        rows = min(slab_rows, n_pad - start)
+        slab = _jnp.asarray(slab_fn(start, rows), dtype=_jnp.float32)
+        buf = _f32_ingest_slab(buf, slab, _jnp.int32(start))
+    norms_sq, inv = _device_norms(buf)
+    valid = _jnp.arange(n_pad, dtype=_jnp.int32) < n
+    return DeviceVecs(buf, norms_sq, inv, valid)
+
+
 @jax.jit
 def _device_norms(vecs):
     v32 = vecs.astype(jnp.float32)

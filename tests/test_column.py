@@ -176,3 +176,16 @@ def test_values_method():
     assert len(f.values()) == 3
     s = Column("string_values", DataType.String).from_values(["hello", "world"])
     assert len(s.values()) == 2
+
+
+def test_method_chaining():
+    """reference column_tests.rs:301-311: push/from return self."""
+    c = (
+        Column("c", DataType.Int32)
+        .from_values([1, 2])
+        .push(3)
+        .push(None)
+    )
+    assert len(c) == 4
+    assert list(c.values())[:3] == [1, 2, 3]
+    assert bool(c.null_mask()[3])

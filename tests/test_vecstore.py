@@ -597,3 +597,18 @@ def test_nan_scores_dropped():
     results = store.query([1.0, 0.0], Metric.DotProduct).take(2).collect()
     # NaN-score row is dropped (vec_compute.rs:237-239)
     assert [r.index for r in results] == [0]
+
+
+def test_error_propagation_in_filter():
+    """reference vec_store_tests.rs:999-1009: a filter on an uninitialized
+    plan keeps the error state and collect() surfaces it."""
+    with pytest.raises(OttersError):
+        VecQueryPlan().filter(0.5, Cmp.Gt).collect()
+
+
+def test_empty_query_vectors_in_batch():
+    """reference vec_store_tests.rs:1022-1030: an empty batch errors with
+    the reference's message."""
+    store = VecStore(3)
+    with pytest.raises(OttersError, match="No queries provided"):
+        store.query([], Metric.Cosine).collect()

@@ -155,3 +155,80 @@ def test_pair_min_max():
         np.int64
     )
     np.testing.assert_array_equal(back, np.maximum(a, b))
+
+
+def test_i64_lo_boundary_crossings():
+    """simd_types_tests edge contract: values straddling the 32-bit split
+    boundary (same hi, different lo / adjacent hi) compare exactly."""
+    vals = np.array(
+        [2**32 - 1, 2**32, 2**32 + 1, -(2**32) - 1, -(2**32), -(2**32) + 1],
+        dtype=np.int64,
+    )
+    hi, lo = wide64.split_i64(vals)
+    for cmp in (CmpOp.Eq, CmpOp.Neq, CmpOp.Lt, CmpOp.Lte, CmpOp.Gt, CmpOp.Gte):
+        for t in vals:
+            thi, tlo = wide64.split_i64_scalar(int(t))
+            got = np.asarray(
+                wide64.pair_cmp(cmp, jnp.asarray(hi), jnp.asarray(lo), thi, tlo)
+            )
+            py = {
+                CmpOp.Eq: lambda a, b: a == b,
+                CmpOp.Neq: lambda a, b: a != b,
+                CmpOp.Lt: lambda a, b: a < b,
+                CmpOp.Lte: lambda a, b: a <= b,
+                CmpOp.Gt: lambda a, b: a > b,
+                CmpOp.Gte: lambda a, b: a >= b,
+            }[cmp]
+            want = np.asarray([py(int(v), int(t)) for v in vals])
+            np.testing.assert_array_equal(got, want, err_msg=f"{cmp} {t}")
+
+
+def test_u64_large_values_unsigned_semantics():
+    """simd_types_tests.rs:317-330: values past the signed midpoint must
+    compare as UNSIGNED in the ordered u32-pair domain (the f64 map's)."""
+    big1 = np.uint64(2**63 + 100)
+    big2 = np.uint64(2**63 + 50)
+    h1, l1 = np.uint32(big1 >> np.uint64(32)), np.uint32(big1 & np.uint64(0xFFFFFFFF))
+    h2, l2 = np.uint32(big2 >> np.uint64(32)), np.uint32(big2 & np.uint64(0xFFFFFFFF))
+    assert bool(wide64.pair_lt(h2, l2, h1, l1))
+    assert not bool(wide64.pair_lt(h1, l1, h2, l2))
+    assert not bool(wide64.pair_eq(h1, l1, h2, l2))
+
+
+def test_signed_unsigned_consistency_small_values():
+    """simd_types_tests.rs:338-356: small positive values compare the same
+    through the signed i64 split and the unsigned f64 ordered split."""
+    a = np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.int64)
+    b = np.array([2, 1, 4, 3, 6, 5, 8, 7], dtype=np.int64)
+    ia = wide64.split_i64(a)
+    ib = wide64.split_i64(b)
+    fa = wide64.split_f64(a.astype(np.float64))
+    fb = wide64.split_f64(b.astype(np.float64))
+    for cmp in (CmpOp.Gt, CmpOp.Lt, CmpOp.Eq):
+        gi = np.asarray(wide64.pair_cmp(cmp, *map(jnp.asarray, ia), *map(jnp.asarray, ib)))
+        gf = np.asarray(wide64.pair_cmp(cmp, *map(jnp.asarray, fa), *map(jnp.asarray, fb)))
+        np.testing.assert_array_equal(gi, gf, err_msg=str(cmp))
+
+
+def test_min_max_cross_type_consistency():
+    """simd_types_tests.rs:356-397: pair_min/pair_max agree across the i64
+    and f64 representations for positive values."""
+    v1 = np.array([5, 2, 7, 1, 9, 3, 8, 4], dtype=np.int64)
+    v2 = np.array([3, 6, 4, 8, 2, 7, 1, 9], dtype=np.int64)
+    want_min = np.minimum(v1, v2)
+    want_max = np.maximum(v1, v2)
+    ih1, il1 = map(jnp.asarray, wide64.split_i64(v1))
+    ih2, il2 = map(jnp.asarray, wide64.split_i64(v2))
+    mh, ml = wide64.pair_min(ih1, il1, ih2, il2)
+    got = (np.asarray(mh).astype(np.int64) << 32) | np.asarray(ml).astype(np.int64)
+    np.testing.assert_array_equal(got, want_min)
+    mh, ml = wide64.pair_max(ih1, il1, ih2, il2)
+    got = (np.asarray(mh).astype(np.int64) << 32) | np.asarray(ml).astype(np.int64)
+    np.testing.assert_array_equal(got, want_max)
+    # f64 representation agrees
+    fh1, fl1 = map(jnp.asarray, wide64.split_f64(v1.astype(np.float64)))
+    fh2, fl2 = map(jnp.asarray, wide64.split_f64(v2.astype(np.float64)))
+    wmin_h, wmin_l = wide64.split_f64(want_min.astype(np.float64))
+    gh, gl = wide64.pair_min(fh1, fl1, fh2, fl2)
+    np.testing.assert_array_equal(np.asarray(gh), wmin_h)
+    np.testing.assert_array_equal(np.asarray(gl), wmin_l)
