@@ -1,0 +1,100 @@
+"""Multi-process (multi-host analog) smoke test for init_distributed.
+
+Spawns TWO OS processes that form a jax.distributed cluster over local TCP
+(the CPU stand-in for a TPU pod's hosts), build a ('rows', 'batch') mesh
+spanning both processes' devices, and run the sharded top-k search with its
+cross-process all-gather merge. Each process checks the merged result
+against a local numpy oracle — exercising exactly the
+`init_distributed()` + `make_mesh()` + `ShardedVecStore.search` pod recipe
+from examples/multichip.py.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from otters_tpu.parallel import init_distributed, make_mesh, ShardedVecStore
+from otters_tpu.types import Metric
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+init_distributed(coordinator_address=coord, num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+n_dev = len(jax.devices())
+assert n_dev == 2 * jax.local_device_count(), (n_dev, jax.local_device_count())
+
+mesh = make_mesh(rows=n_dev, batch=1)
+rng = np.random.default_rng(0)  # same data on every process
+n, d, k = 512, 16, 7
+vectors = rng.normal(size=(n, d)).astype(np.float32)
+queries = rng.normal(size=(2, d)).astype(np.float32)
+
+store = ShardedVecStore(mesh, vectors)
+got = store.search(queries, Metric.Cosine, k=k)
+
+qi = 1 / np.linalg.norm(queries, axis=1)
+vi = 1 / np.linalg.norm(vectors, axis=1)
+s = (queries @ vectors.T) * qi[:, None] * vi[None, :]
+flat = s.reshape(-1)
+order = np.argsort(-flat, kind="stable")[:k]
+want_rows = (order % n).tolist()
+assert [r.index for r in got] == want_rows, (
+    [r.index for r in got], want_rows)
+np.testing.assert_allclose(
+    [r.score for r in got], flat[order], rtol=1e-5, atol=1e-6)
+print(f"proc {pid} OK", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_search():
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, coord, str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        if rc != 0 and (
+            "UNIMPLEMENTED" in err or "not supported" in err.lower()
+        ):
+            pytest.skip(
+                f"multi-process CPU collectives unsupported here: "
+                f"{err.splitlines()[-1] if err else rc}"
+            )
+        assert rc == 0, f"proc {pid} failed:\n{out}\n{err[-3000:]}"
+        assert f"proc {pid} OK" in out
