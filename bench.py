@@ -207,9 +207,10 @@ def run_10m(store):
     log(f"10M warm-up (compile): {warm:.2f}s, {len(r)} candidates, "
         f"{st.evaluated_chunks}/{st.total_chunks} chunks evaluated")
     assert len(r) == K_WIDE
-    assert st.evaluated_chunks * 2 == st.total_chunks + (
-        st.total_chunks % 2
-    ), "filter should prune half the chunks"
+    # odd-indexed chunks survive: exactly floor(total / 2) of them
+    assert st.evaluated_chunks == st.total_chunks // 2, (
+        st.evaluated_chunks, st.total_chunks,
+    )
 
     # let the background jit warm finish so timing measures the steady-state
     # dispatch path (queries keep being served by the AOT executable even if

@@ -28,7 +28,8 @@ from typing import Any, Dict, Optional
 
 _mem: Dict[str, Any] = {}
 _lock = threading.Lock()
-_MEM_LIMIT = 64
+_MEM_LIMIT = 256
+_hits: Dict[str, int] = {}  # per-signature use counts (gates the jit warm)
 stats = {"disk_hits": 0, "compiles": 0}
 
 
@@ -63,7 +64,18 @@ def _backend_tag() -> str:
     import jax
 
     dev = jax.devices()[0]
-    return f"{jax.__version__}|{dev.platform}|{dev.device_kind}|{_code_version()}"
+    try:
+        # includes the runtime/libtpu build, which can change codegen even
+        # when jax.__version__ does not
+        runtime = jax.extend.backend.get_backend().platform_version
+    except Exception:
+        runtime = ""
+    flags = os.environ.get("XLA_FLAGS", "")
+    extra = hashlib.sha256(f"{runtime}|{flags}".encode()).hexdigest()[:8]
+    return (
+        f"{jax.__version__}|{dev.platform}|{dev.device_kind}|"
+        f"{extra}|{_code_version()}"
+    )
 
 
 def _aval_sig(tree) -> str:
@@ -86,6 +98,8 @@ def signature(name: str, static_repr: str, args, kwargs) -> str:
 
 
 def _blob_path(key: str) -> Optional[str]:
+    if os.environ.get("OTTERS_DISABLE_AOT"):
+        return None  # kill-switch: never read or write blobs
     d = cache_dir()
     if d is None:
         return None
@@ -159,14 +173,16 @@ def load_or_compile(key: str, jitted, args, static_kwargs):
             except Exception:
                 pass  # backend can't serialize: still cached in memory
     with _lock:
-        if len(_mem) < _MEM_LIMIT:
-            _mem[key] = compiled
+        if len(_mem) >= _MEM_LIMIT:  # FIFO eviction: never re-load per query
+            _mem.pop(next(iter(_mem)))
+        _mem[key] = compiled
     return compiled
 
 
 def clear_memory_cache() -> None:
     with _lock:
         _mem.clear()
+        _hits.clear()
         _jit_ready.clear()
         _warming.clear()
 
@@ -189,10 +205,19 @@ def jit_is_ready(key: str) -> bool:
 
 
 def ensure_jit_warm(key: str, jitted, args, static_kwargs) -> None:
-    """Compile-and-run ``jitted`` once in a daemon thread; mark ``key`` ready
-    when done. No-op if already ready/warming."""
+    """Compile-and-run ``jitted`` once in a background thread; mark ``key``
+    ready when done.
+
+    Only triggers once a signature has been used TWICE: a one-shot script
+    never starts the warm (whose non-daemon thread would otherwise make the
+    process wait out a full compile at exit), while any serving loop
+    triggers it on its second query. No-op if already ready/warming or if
+    OTTERS_AOT_NO_WARM is set."""
+    if os.environ.get("OTTERS_AOT_NO_WARM"):
+        return
     with _lock:
-        if key in _jit_ready or key in _warming:
+        _hits[key] = _hits.get(key, 0) + 1
+        if _hits[key] < 2 or key in _jit_ready or key in _warming:
             return
         _warming.add(key)
 

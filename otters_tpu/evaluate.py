@@ -17,7 +17,7 @@ def exact_rerank(
     fetch_vectors: Callable,
     metric,
     k: int,
-    take_min: bool = False,
+    take_min=None,
 ):
     """Re-rank a widened candidate set with exact f32 scores.
 
@@ -32,8 +32,13 @@ def exact_rerank(
     """
     import numpy as np
 
-    from .types import Metric
+    from .types import Metric, TakeType, default_take_type
 
+    if take_min is None:
+        # distance metrics re-rank by SMALLEST score — the same default
+        # direction the query plans use (a wrong direction here would
+        # silently return the k worst candidates)
+        take_min = default_take_type(metric) is TakeType.Min
     cand = np.asarray(list(dict.fromkeys(int(i) for i in cand_indices)))
     if cand.size == 0:
         return [], []

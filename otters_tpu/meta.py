@@ -615,6 +615,7 @@ class MetaStore:
         self._storage_dtype = "float32"
         self._n_deleted = 0
         self._plan_cache: Dict = {}
+        self._aot_key_cache: Dict = {}
         self._hostmask_cache: Dict = {}
         self._bloom_config = ("fpr", 0.01)
         self._build_stats: Optional[MetaBuildStats] = None
@@ -881,9 +882,21 @@ class MetaStore:
 
         if os.environ.get("OTTERS_DISABLE_AOT"):
             return partial(_meta_query_program, **static_kwargs), args
-        key = aot.signature(
-            "meta_query", repr(sorted(static_kwargs.items(), key=str)), args, {}
-        )
+        # the signature is invariant per (plan, batch size, knobs) for a
+        # given store; memoize it so steady-state dispatch skips the pytree
+        # flatten + sha256 on every query
+        memo = (plan_static, queries.shape[0], k_eff, metric, take_min, cmp,
+                self.precision, tile, fast)
+        key = self._aot_key_cache.get(memo)
+        if key is None:
+            key = aot.signature(
+                "meta_query",
+                repr(sorted(static_kwargs.items(), key=str)),
+                args,
+                {},
+            )
+            if len(self._aot_key_cache) < 512:
+                self._aot_key_cache[memo] = key
         if aot.jit_is_ready(key):
             # steady state: jit's C++ dispatch pipelines ~4x better than the
             # Compiled call path
@@ -946,10 +959,15 @@ class MetaStore:
                         (0.0, Cmp.Lt if take_min else Cmp.Gt)
                     )
                 for thr, cmp in variants:
-                    self._prepare_program(
+                    compiled, args = self._prepare_program(
                         cols_sub, plan._queries, plan_params, thr,
                         plan_static, metric, k, take_min, cmp,
                     )
+                    # execute once: warms jit when the AOT layer is disabled
+                    # and validates the readied executable either way
+                    import jax
+
+                    jax.block_until_ready(compiled(*args))
                     count += 1
         return count
 

@@ -104,12 +104,19 @@ def _kernel(
     @pl.when(real)
     def _():
         q = q_ref[:]  # [b_pad, D] (b_pad = 8-sublane-padded batch)
-        v = v_ref[:].astype(jnp.float32)  # [T, D] (bf16/int8 upcast here)
         dn = (((1,), (1,)), ((), ()))
-        if prec == "high":
+        if q_ref.dtype == jnp.int8:
+            # int8 storage: native int8 x int8 -> int32 MXU accumulation,
+            # exact at ANY dimension (f32 accumulation would round past
+            # 2^24, i.e. d >= ~1041) and bit-identical to the XLA int8 path
+            dots = jax.lax.dot_general(
+                q, v_ref[:], dn, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+        elif prec == "high":
             # Mosaic has no Precision.HIGH lowering; do bf16_3x by hand:
             # three bf16 MXU passes with f32 accumulation, dropping ql.vl
             # (the sound error bound lives in scoring.high_precision_bound)
+            v = v_ref[:].astype(jnp.float32)
             qh = q.astype(jnp.bfloat16)
             ql = (q - qh.astype(jnp.float32)).astype(jnp.bfloat16)
             vh = v.astype(jnp.bfloat16)
@@ -122,7 +129,7 @@ def _kernel(
         else:
             dots = jax.lax.dot_general(
                 q,
-                v,
+                v_ref[:].astype(jnp.float32),  # bf16 storage upcasts here
                 dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
                 precision=_precision(prec),
@@ -232,15 +239,15 @@ def pallas_topk(
     interpret = interpret or interpret_forced()
     n_pad, d = vectors.shape
     b = queries.shape[0]
-    if vectors.dtype == jnp.int8:
-        # quantized-cosine storage: quantize queries symmetrically and run the
-        # MXU at DEFAULT (bf16) precision — int8 values and their partial
-        # products are exactly representable, so bf16 loses nothing here
+    int8_mode = vectors.dtype == jnp.int8
+    q_int8 = None
+    if int8_mode:
+        # quantized-cosine storage: quantize the queries symmetrically; both
+        # phases run native int8 x int8 -> int32 MXU dots (exact at any d)
         from .scoring import _quantize_rows_int8
 
-        q8, _, _ = _quantize_rows_int8(queries)
-        queries = q8.astype(jnp.float32)
-        prec = "default"
+        q_int8, _, _ = _quantize_rows_int8(queries)
+        queries = q_int8.astype(jnp.float32)  # for norms / qaux only
     b_pad = _pad_b(b)
     bo = _round_up(b_pad, LANE)  # output block lane width
     t = choose_tile(d, n_pad, b_pad)
@@ -283,7 +290,10 @@ def pallas_topk(
         slack = jnp.float32(0.0)
         prec1 = prec
         thr1 = thr
-    q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
+    if int8_mode:
+        q_pad = jnp.zeros((b_pad, d), jnp.int8).at[:b].set(q_int8)
+    else:
+        q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
     qaux = jnp.zeros((4, bo), jnp.float32)
     qaux = qaux.at[0, :b].set(q_inv).at[1, :b].set(q_sq)
     # q_ok lane: padded batch rows AND caller-invalid queries (e.g. batch-
@@ -395,15 +405,24 @@ def pallas_topk(
         + jnp.arange(BIN, dtype=jnp.int32)[None, :]
     )  # [kb, BIN]
     rows_flat = rows.reshape(-1)
-    v_cand = vectors[rows_flat].astype(jnp.float32)  # [kb*BIN, d]
     q_cand = q_pad[qsel_c]  # [kb, d]
-    dots = jax.lax.dot_general(
-        q_cand[:, None, :],
-        v_cand.reshape(kb, BIN, d),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=_precision(prec),
-    ).reshape(kb, BIN)
+    if int8_mode:
+        # exact int32 accumulation, matching phase 1 and the XLA int8 path
+        dots = jax.lax.dot_general(
+            q_cand[:, None, :],
+            vectors[rows_flat].reshape(kb, BIN, d),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        ).reshape(kb, BIN).astype(jnp.float32)
+    else:
+        v_cand = vectors[rows_flat].astype(jnp.float32)  # [kb*BIN, d]
+        dots = jax.lax.dot_general(
+            q_cand[:, None, :],
+            v_cand.reshape(kb, BIN, d),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=_precision(prec),
+        ).reshape(kb, BIN)
     if metric is Metric.Cosine:
         scores = (
             dots * q_inv_pad(q_inv, b_pad)[qsel_c][:, None] * inv_norms[rows]

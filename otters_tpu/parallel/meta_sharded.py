@@ -299,6 +299,41 @@ class ShardedMetaStore(MetaStore):
         out._device_cols = dev_cols
         return out
 
+    def precompile(
+        self,
+        filters=None,
+        batch_sizes=(1, 256),
+        k: int = 10,
+        metric: Metric = Metric.Cosine,
+        with_vec_filter: bool = False,
+    ) -> int:
+        """Warm the SPMD program for each signature by running one query
+        through the real sharded path (the base class's AOT machinery is
+        single-device; resharding a multi-chip store through it would be
+        wrong and could OOM one device)."""
+        from .. import aot
+        from ..types import Cmp, TakeType, default_take_type
+
+        count = 0
+        take_min = default_take_type(metric) is TakeType.Min
+        for expr in filters if filters is not None else [None]:
+            for b in batch_sizes:
+                variants = [None]
+                if with_vec_filter:
+                    variants.append((0.0, Cmp.Lt if take_min else Cmp.Gt))
+                for vf in variants:
+                    plan = self.query_batch(
+                        np.zeros((int(b), self._dim), np.float32), metric
+                    )
+                    if expr is not None:
+                        plan = plan.meta_filter(expr)
+                    if vf is not None:
+                        plan = plan.vec_filter(*vf)
+                    plan.take(k).collect()
+                    count += 1
+        aot.wait_jit_ready()
+        return count
+
     # MetaQueryPlan calls this hook; run the SPMD program instead.
     def _run_query_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,

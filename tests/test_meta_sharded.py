@@ -178,3 +178,35 @@ def test_sharded_pallas_tile_skipping(monkeypatch):
     assert all(price[i] < 10.0 for i in b.indices)
     st = sharded.last_query_stats()
     assert st.evaluated_chunks == 64  # half of 128 real chunks
+
+
+def test_sharded_precompile_and_save_roundtrip(tmp_path):
+    """precompile() must warm through the SPMD path (not the single-device
+    AOT machinery), and a sharded store saves/loads like a local one."""
+    rng = np.random.default_rng(57)
+    n, d = 1500, 8
+    cols = [
+        Column("v", DataType.Int32).from_values(
+            (np.arange(n) % 5).astype(np.int32)
+        )
+    ]
+    local = (
+        MetaStore.from_columns(cols)
+        .with_vectors(rng.normal(size=(n, d)).astype(np.float32))
+        .with_chunk_size(128)
+        .build()
+    )
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = ShardedMetaStore.shard(local, mesh)
+    assert sharded.precompile(
+        filters=[None, col("v").lt(3)], batch_sizes=(2,), k=4
+    ) == 2
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    r = sharded.query_batch(q, Metric.Cosine).meta_filter(col("v").lt(3)).take(4).collect()
+    assert len(r) == 4 and all(i % 5 < 3 for i in r.indices)
+
+    path = str(tmp_path / "sharded.npz")
+    sharded.save(path)
+    loaded = MetaStore.load(path)  # loads as a local store
+    a = loaded.query_batch(q, Metric.Cosine).meta_filter(col("v").lt(3)).take(4).collect()
+    assert a.indices == r.indices

@@ -265,3 +265,85 @@ def test_parallel_exports_init_distributed():
     import otters_tpu
 
     assert hasattr(otters_tpu.parallel, "init_distributed")
+
+
+# ---- round-2 self-review findings -------------------------------------------
+
+
+def test_exact_rerank_infers_distance_direction():
+    """exact_rerank must default to SMALLEST-first for distance metrics."""
+    from otters_tpu.evaluate import exact_rerank
+
+    vecs = np.array([[0.1, 0.0], [5.0, 0.0], [10.0, 0.0]], np.float32)
+    rows, scores = exact_rerank(
+        np.zeros((1, 2), np.float32), [0, 1, 2],
+        lambda ids: vecs[np.asarray(ids)], Metric.Euclidean, 1,
+    )
+    assert rows == [0]  # nearest, not farthest
+    rows_m, _ = exact_rerank(
+        np.zeros((1, 2), np.float32), [0, 1, 2],
+        lambda ids: vecs[np.asarray(ids)], Metric.Manhattan, 1,
+    )
+    assert rows_m == [0]
+
+
+def test_int8_pallas_exact_at_large_dim():
+    """d > 1040: int8 dots overflow f32 accumulation; the kernel must use
+    int32 accumulation and stay bit-identical to the XLA int8 path."""
+    d = 2048
+    n = 16384
+    # constant-component rows quantize to +/-127 -> |dot| = d * 127^2 > 2^24
+    base = np.ones((n, d), np.float32)
+    base[::2] *= -1.0
+    base += np.random.default_rng(94).normal(size=(n, d)) * 1e-3
+    dv8 = scoring.materialize(base, dtype=jnp.int8)
+    q = np.ones((2, d), np.float32)
+    rows_x, scores_x, ok_x = scoring.run_vec_topk(
+        dv8, q, Metric.Cosine, 8, take_min=False, cmp=None, thr=None
+    )
+    n_pad = dv8.vectors.shape[0]
+    t = pk.choose_tile(d, n_pad, pk._pad_b(2))
+    rows_p, scores_p, ok_p, _ = pk.pallas_topk(
+        dv8.vectors, dv8.norms_sq, dv8.inv_norms, dv8.valid,
+        jnp.asarray(q), None, jnp.float32(0.0),
+        jnp.ones(n_pad // t, dtype=bool),
+        metric=Metric.Cosine, k=8, take_min=False, cmp=None, interpret=True,
+    )
+    # many rows quantize to identical int8 patterns -> exact ties; the two
+    # paths may pick different tied rows, but the SCORE multisets must be
+    # bit-identical (same int32 dots, same f32 normalization math) — f32
+    # accumulation would diverge by ~1e-3 relative here
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(scores_p)), np.sort(np.asarray(scores_x))
+    )
+    assert np.asarray(ok_p).all() and np.asarray(ok_x).all()
+
+
+def test_jit_warm_triggers_on_second_use_only():
+    """One-shot scripts must not spawn the (non-daemon) warm thread."""
+    from otters_tpu import aot
+
+    aot.clear_memory_cache()
+    calls = []
+    import threading as _t
+
+    orig = _t.Thread
+
+    class Spy(orig):
+        def start(self):
+            calls.append(self.name)
+            return super().start()
+
+    _t.Thread = Spy
+    try:
+        aot.ensure_jit_warm("k1", None, (), {})  # first use: no thread
+        assert not [c for c in calls if c.startswith("aot-warm")]
+        import jax.numpy as _jnp
+
+        jitted = __import__("jax").jit(lambda x: x + 1)
+        aot.ensure_jit_warm("k1", jitted, (_jnp.ones(2),), {})  # second use
+        assert [c for c in calls if c.startswith("aot-warm")]
+        assert aot.wait_jit_ready(60)
+        assert aot.jit_is_ready("k1")
+    finally:
+        _t.Thread = orig
