@@ -384,16 +384,45 @@ def cpu_proxy_qps():
 def main() -> None:
     _configure_jax()
     import gc
+    import traceback
 
-    store, build_s = build_10m()
-    qps10, warm, rec = run_10m(store)
-    del store
-    gc.collect()
-    qps4 = run_f32(N4, "4M")
-    gc.collect()
+    from otters_tpu import aot
+
+    def drain():
+        # background jit-warm threads hold the section's device arrays in
+        # their closures; drain them so HBM is actually released before the
+        # next multi-GB store is built
+        aot.wait_jit_ready(timeout=300.0)
+        gc.collect()
+
+    try:
+        store, build_s = build_10m()
+        qps10, warm, rec = run_10m(store)
+        del store
+    except Exception:  # insurance: always emit a JSON line for the driver
+        log("10M section failed:\n" + traceback.format_exc())
+        qps10 = warm = rec = build_s = None
+    drain()
+    try:
+        qps4 = run_f32(N4, "4M")
+    except Exception:
+        log("4M section failed:\n" + traceback.format_exc())
+        qps4 = None
+    drain()
     qps1 = run_f32(N1, "1M")
-    gc.collect()
+    drain()
     cpu_qps, cores = cpu_proxy_qps()
+    if qps10 is None:
+        # degraded headline: the 1M exact config (scaled CPU proxy matches N)
+        result = {
+            "metric": "filtered_cosine_exact_top10_qps_1Mx768",
+            "value": round(qps1, 1),
+            "unit": "qps",
+            "vs_baseline": round(qps1 / (cpu_qps * N10 / N1 / cores * 32), 1),
+            "extras": {"degraded": "10M section failed; see stderr"},
+        }
+        print(json.dumps(result))
+        return
 
     # conservative baseline: extrapolate the measured per-core proxy to a
     # 32-core reference box

@@ -212,7 +212,11 @@ def ensure_jit_warm(key: str, jitted, args, static_kwargs) -> None:
     never starts the warm (whose non-daemon thread would otherwise make the
     process wait out a full compile at exit), while any serving loop
     triggers it on its second query. No-op if already ready/warming or if
-    OTTERS_AOT_NO_WARM is set."""
+    OTTERS_AOT_NO_WARM is set.
+
+    NOTE: the thread's closure keeps ``args`` (device buffers) alive until
+    the warm finishes; before dropping a multi-GB store to rebuild another,
+    call :func:`wait_jit_ready` so HBM is actually released."""
     if os.environ.get("OTTERS_AOT_NO_WARM"):
         return
     with _lock:
