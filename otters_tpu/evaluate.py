@@ -56,6 +56,12 @@ def exact_rerank(
         s = q @ v.T
     elif metric is Metric.Euclidean:
         s = q_sq[:, None] + (v * v).sum(1)[None, :] - 2.0 * (q @ v.T)
+    elif metric is Metric.Hamming:
+        s = (q[:, None, :] != v[None, :, :]).sum(axis=2).astype(np.float32)
+    elif metric is Metric.Jaccard:
+        num = np.minimum(q[:, None, :], v[None, :, :]).sum(axis=2)
+        den = np.maximum(q[:, None, :], v[None, :, :]).sum(axis=2)
+        s = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
     else:  # Manhattan
         s = np.abs(q[:, None, :] - v[None, :, :]).sum(axis=2)
     flat = s.reshape(-1)

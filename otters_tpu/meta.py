@@ -849,7 +849,7 @@ class MetaStore:
             )
         tile = scoring.choose_mode(n_pad, b, k_eff)
         fast = False
-        if tile == "panel" and metric is not Metric.Manhattan:
+        if tile == "panel" and metric not in VPU_METRICS:
             from .ops import pallas_topk as pk
 
             if pk.pallas_ok(n_pad, dv.vectors.shape[1], b, k_eff):

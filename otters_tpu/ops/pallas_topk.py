@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import Cmp, Metric
+from ..types import VPU_METRICS, Cmp, Metric
 from .scoring import (
     _filter_ok,
     _precision,
@@ -186,10 +186,10 @@ def fast_ok(metric: Metric, take_min: bool, cmp, k: int, prec: str) -> bool:
     DotProduct/Euclidean carry a norm-scaled slack (bound * max||q|| *
     max||v||, doubled for the -2*dot term) computed on device. Eq score
     filters need two-sided slack and are excluded; large k makes the 4k-bin
-    candidate set expensive; Manhattan never touches the MXU."""
+    candidate set expensive; the VPU metrics never touch the MXU."""
     return (
         prec == "highest"
-        and metric is not Metric.Manhattan
+        and metric not in VPU_METRICS
         and cmp is not Cmp.Eq
         and k <= 128
     )

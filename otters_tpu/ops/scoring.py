@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import OttersError
-from ..types import Cmp, Metric
+from ..types import VPU_METRICS, Cmp, Metric
 
 # Rows are padded to a multiple of SCAN_TILE for large stores so the scan can
 # reshape [N, D] -> [n_tiles, TILE, D] without remainder handling.
@@ -264,8 +264,8 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
             q8, vecs.T, preferred_element_type=jnp.int32
         ).astype(jnp.float32)
         return dots * q_inv8[:, None] * v_inv[None, :]
-    if metric is Metric.Manhattan:
-        return _manhattan_scores(queries, vecs)
+    if metric in VPU_METRICS:
+        return _vpu_scores(queries, vecs, metric)
     dots = jnp.matmul(
         queries,
         vecs.T,
@@ -279,30 +279,51 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
     return q_sq[:, None] + v_sq[None, :] - 2.0 * dots
 
 
-def _manhattan_scores(queries, vecs):
-    """L1 distances [B, T] on the VPU.
+def _vpu_block(q, vb, metric: Metric):
+    """One [B, blk] score block for the metrics with no matmul form.
 
-    The [B, blk, D] abs-diff broadcast is bounded at ~256 MB per block; blocks
-    run under ``lax.scan`` so the program compiles ONE block body regardless
-    of N (an unrolled Python loop emitted hundreds of panels at 1M+ rows and
-    took minutes to compile). L1 has no MXU mapping — this path is VPU-bound
-    by construction (~3 ops/element)."""
+    manhattan : sum |q - v|               (L1 distance)
+    hamming   : count of unequal components
+    jaccard   : sum min(q, v) / sum max(q, v)  (weighted Jaccard over
+                non-negative vectors; 0 when both rows are all-zero)
+    """
+    ql = q[:, None, :]
+    vl = vb[None, :, :]
+    if metric is Metric.Manhattan:
+        return jnp.sum(jnp.abs(ql - vl), axis=-1)
+    if metric is Metric.Hamming:
+        return jnp.sum(ql != vl, axis=-1).astype(jnp.float32)
+    num = jnp.sum(jnp.minimum(ql, vl), axis=-1)
+    den = jnp.sum(jnp.maximum(ql, vl), axis=-1)
+    return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), 0.0)
+
+
+def _vpu_scores(queries, vecs, metric: Metric):
+    """VPU metric scores [B, T] (Manhattan / Hamming / Jaccard).
+
+    The [B, blk, D] elementwise broadcast is bounded at ~256 MB per block;
+    blocks run under ``lax.scan`` so the program compiles ONE block body
+    regardless of N (an unrolled Python loop emitted hundreds of panels at
+    1M+ rows and took minutes to compile). These metrics have no MXU
+    mapping — this path is VPU-bound by construction (~3 ops/element)."""
     b, d = queries.shape
     n = vecs.shape[0]
     blk = max(8, min(n, (1 << 26) // max(1, b * d)))
     v = vecs.astype(jnp.float32)
     if n <= blk:
-        return jnp.sum(jnp.abs(queries[:, None, :] - v[None, :, :]), axis=-1)
+        return _vpu_block(queries, v, metric)
     n_blocks = -(-n // blk)
     n_pad = n_blocks * blk
     if n_pad != n:
-        v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+        # NaN padding: padded rows never satisfy any filter and are dropped
+        # by the NaN mask regardless of metric direction (zero padding would
+        # give Jaccard/Hamming padding rows legitimate-looking scores; the
+        # caller's validity mask handles them, this is defense in depth)
+        v = jnp.pad(v, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
     vt = v.reshape(n_blocks, blk, d)
 
     def step(_, vb):
-        return None, jnp.sum(
-            jnp.abs(queries[:, None, :] - vb[None, :, :]), axis=-1
-        )  # [B, blk]
+        return None, _vpu_block(queries, vb, metric)  # [B, blk]
 
     _, ys = jax.lax.scan(step, None, vt)  # [n_blocks, B, blk]
     return jnp.moveaxis(ys, 0, 1).reshape(b, n_pad)[:, :n]
@@ -776,7 +797,7 @@ def run_vec_topk(
     mode = choose_mode(n_pad, b, k_eff)
     args = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm, thr_arr)
     kwargs = dict(metric=metric, k=k_eff, take_min=take_min, cmp=cmp_eff, prec=prec)
-    if mode == "panel" and metric is not Metric.Manhattan:
+    if mode == "panel" and metric not in VPU_METRICS:
         # upgrade to the fused Pallas kernel on TPU (skips nothing here but
         # never materializes the score matrix); int8 storage rides it too
         # (quantized queries + bf16 MXU, exact w.r.t. the stored int8)

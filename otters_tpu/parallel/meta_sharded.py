@@ -23,7 +23,7 @@ import numpy as np
 from ..errors import OttersError
 from ..meta import MetaStore, MetaStoreBuilder
 from ..ops import predicate, scoring
-from ..types import Metric
+from ..types import VPU_METRICS, Metric
 
 
 def _jit_sharded_program():
@@ -371,7 +371,7 @@ class ShardedMetaStore(MetaStore):
         tile = "auto"
         if (
             getattr(self, "_pallas_aligned", False)
-            and metric is not Metric.Manhattan
+            and metric not in VPU_METRICS
             and b_local * n_local > scoring.DIRECT_LIMIT
             and pk.pallas_ok(n_local, self._dim, b_local, k_eff)
         ):

@@ -76,10 +76,17 @@ class Metric(enum.Enum):
     Cosine = "Cosine"
     Euclidean = "Euclidean"  # squared euclidean, like the reference
     DotProduct = "DotProduct"
-    # Beyond the reference (its "More Metrics" roadmap item). L1 has no
-    # matmul form, so it runs on the VPU: supported and exact, but slower
-    # than the MXU metrics at scale.
+    # Beyond the reference (its "More Metrics" roadmap item: Manhattan,
+    # Hamming, Jaccard). None has a matmul form, so they run on the VPU:
+    # supported and exact, but slower than the MXU metrics at scale.
     Manhattan = "Manhattan"
+    # count of unequal components (a distance; for 0/1 vectors this is the
+    # classic bit-level Hamming distance)
+    Hamming = "Hamming"
+    # weighted Jaccard similarity sum(min)/sum(max) over non-negative
+    # vectors (0 when both are all-zero); for 0/1 vectors this is
+    # |intersection| / |union|
+    Jaccard = "Jaccard"
 
 
 class TakeType(enum.Enum):
@@ -118,9 +125,13 @@ class CmpOp(enum.Enum):
 STRING_EXTENDED_OPS = (CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith)
 
 
+# metrics with no MXU mapping: excluded from the Pallas kernel + fast-exact
+VPU_METRICS = (Metric.Manhattan, Metric.Hamming, Metric.Jaccard)
+
+
 def default_take_type(metric: Metric) -> TakeType:
     """Distances -> Min, similarities -> Max (vec.rs:93-98)."""
-    if metric in (Metric.Euclidean, Metric.Manhattan):
+    if metric in (Metric.Euclidean, Metric.Manhattan, Metric.Hamming):
         return TakeType.Min
     return TakeType.Max
 

@@ -119,6 +119,16 @@ def _oracle(vectors, queries, metric, compiled, raw_cols, schema, k, thr, cmp):
     elif metric is Metric.Manhattan:
         s = np.abs(queries[:, None, :] - vectors[None, :, :]).sum(axis=2)
         take_min = True
+    elif metric is Metric.Hamming:
+        s = (queries[:, None, :] != vectors[None, :, :]).sum(axis=2).astype(
+            np.float64
+        )
+        take_min = True
+    elif metric is Metric.Jaccard:
+        num = np.minimum(queries[:, None, :], vectors[None, :, :]).sum(axis=2)
+        den = np.maximum(queries[:, None, :], vectors[None, :, :]).sum(axis=2)
+        s = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        take_min = False
     else:
         s = (
             (queries**2).sum(1)[:, None]
@@ -174,16 +184,29 @@ def test_random_store_random_filter_matches_oracle(trial):
         expr = (expr & e) if rng.random() < 0.5 else (expr | e)
 
     metric = [
-        Metric.Cosine, Metric.DotProduct, Metric.Euclidean, Metric.Manhattan
-    ][rng.integers(0, 4)]
+        Metric.Cosine, Metric.DotProduct, Metric.Euclidean,
+        Metric.Manhattan, Metric.Hamming, Metric.Jaccard,
+    ][rng.integers(0, 6)]
     b = int(rng.integers(1, 4))
-    queries = rng.normal(size=(b, d)).astype(np.float32)
+    if metric in (Metric.Hamming, Metric.Jaccard):
+        # binary data: the natural domain (and where exact ties abound,
+        # stressing the stable tie-breaking)
+        vectors = (vectors > 0).astype(np.float32)
+        queries = (rng.normal(size=(b, d)) > 0).astype(np.float32)
+        store = (
+            MetaStore.from_columns(cols)
+            .with_vectors(vectors)
+            .with_chunk_size(chunk)
+            .build()
+        )
+    else:
+        queries = rng.normal(size=(b, d)).astype(np.float32)
     k = int(rng.integers(1, 30))
     use_vf = rng.random() < 0.4
     thr = float(rng.normal(0, 5)) if use_vf else None
     vcmp = (
         Cmp.Gt
-        if metric in (Metric.Cosine, Metric.DotProduct)
+        if metric in (Metric.Cosine, Metric.DotProduct, Metric.Jaccard)
         else Cmp.Lt
     )
 
