@@ -107,6 +107,18 @@ class Expr:
     def ends_with(self, v) -> "Expr":
         return CmpExpr(self, LiteralExpr(_to_literal(v)), CmpOp.EndsWith)
 
+    def fuzzy(self, v, max_dist: int = 1) -> "Expr":
+        """String column within ``max_dist`` edits of ``v`` (bounded
+        Levenshtein over UTF-8 bytes; the reference roadmap's "fuzzy
+        matching"). ``max_dist`` is clamped to 16."""
+        if not isinstance(v, str):
+            raise InvalidExpression()
+        return CmpExpr(
+            self,
+            LiteralExpr(Literal("fuzzy", (v, max(0, min(int(max_dist), 16))))),
+            CmpOp.Fuzzy,
+        )
+
     def and_(self, other: "Expr") -> "Expr":
         return And(self, other)
 
@@ -266,6 +278,10 @@ def _compile_cmp_leaf(
     if dtype is DataType.String:
         if op not in (CmpOp.Eq, CmpOp.Neq) + STRING_EXTENDED_OPS:
             raise UnsupportedStringOp(name)
+        if op is CmpOp.Fuzzy:
+            if literal.kind != "fuzzy":
+                raise TypeMismatch(name, dtype, "fuzzy pattern")
+            return ColumnFilter("string", name, op, literal.value)
         if literal.kind != "str":
             raise TypeMismatch(name, dtype, "string")
         return ColumnFilter("string", name, op, literal.value)

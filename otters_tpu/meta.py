@@ -802,11 +802,20 @@ class MetaStore:
             pred = lambda v: rhs in v  # noqa: E731
         elif leaf.cmp is CmpOp.StartsWith:
             pred = lambda v: v.startswith(rhs)  # noqa: E731
-        else:
+        elif leaf.cmp is CmpOp.EndsWith:
             pred = lambda v: v.endswith(rhs)  # noqa: E731
-        m = np.fromiter(
-            (not nulls[i] and pred(vals[i]) for i in range(n)), bool, count=n
-        )
+        else:  # Fuzzy: one vectorized (native C++ when available) pass
+            from .ops import strmatch
+
+            pattern, max_dist = rhs
+            m = strmatch.fuzzy_mask(vals[:n], nulls, pattern, max_dist)
+            pred = None
+        if pred is not None:
+            m = np.fromiter(
+                (not nulls[i] and pred(vals[i]) for i in range(n)),
+                bool,
+                count=n,
+            )
         n_pad = self._dv.vectors.shape[0]
         row = np.zeros(n_pad, dtype=bool)
         row[:n] = m
@@ -1392,7 +1401,7 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
     return [p.result() for p in pendings]
 
 
-def _str_cmp(v: str, rhs: str, cmp: CmpOp) -> bool:
+def _str_cmp(v: str, rhs, cmp: CmpOp) -> bool:
     if cmp is CmpOp.Eq:
         return v == rhs
     if cmp is CmpOp.Neq:
@@ -1403,6 +1412,14 @@ def _str_cmp(v: str, rhs: str, cmp: CmpOp) -> bool:
         return v.startswith(rhs)
     if cmp is CmpOp.EndsWith:
         return v.endswith(rhs)
+    if cmp is CmpOp.Fuzzy:
+        from .ops.strmatch import MAX_DIST_CAP, bounded_levenshtein
+
+        pattern, max_dist = rhs
+        return bounded_levenshtein(
+            v.encode("utf-8"), pattern.encode("utf-8"),
+            min(int(max_dist), MAX_DIST_CAP),
+        )
     return False
 
 

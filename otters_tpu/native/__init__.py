@@ -55,12 +55,21 @@ def _load() -> Optional[ctypes.CDLL]:
         os.path.join(_DIR, _LIB_NAME),
         os.path.join(tempfile.gettempdir(), _LIB_NAME),
     ]
-    path = next((p for p in candidates if os.path.exists(p)), None)
+
+    def _fresh(p: str) -> bool:  # stale .so (older than the source) is rebuilt
+        try:
+            return os.path.getmtime(p) >= os.path.getmtime(_SRC)
+        except OSError:
+            return False
+
+    path = next((p for p in candidates if os.path.exists(p) and _fresh(p)), None)
     if path is None:
         for p in candidates:
             if _compile(p):
                 path = p
                 break
+    if path is None:  # no compiler: fall back to any existing (stale) build
+        path = next((p for p in candidates if os.path.exists(p)), None)
     if path is None:
         return None
     try:
@@ -78,6 +87,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,
     ]
     lib.otters_bloom_build.restype = None
+    try:
+        lib.otters_fuzzy_mask.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.otters_fuzzy_mask.restype = None
+    except AttributeError:
+        pass  # stale cached .so from before the fuzzy kernel existed
     _lib = lib
     return _lib
 
@@ -134,3 +151,27 @@ def bloom_build(
         n_chunks, words, bits, k, matrix.ctypes.data,
     )
     return matrix.reshape(n_chunks, words)
+
+
+def fuzzy_mask(strings: Sequence[str], pattern: str, max_dist: int):
+    """uint8[n] bounded-Levenshtein mask; None if the native lib lacks it."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "otters_fuzzy_mask"):
+        return None
+    n = len(strings)
+    encoded = [s.encode("utf-8") for s in strings]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    data = np.frombuffer(b"".join(encoded), dtype=np.uint8) if n else np.zeros(
+        0, np.uint8
+    )
+    data = np.ascontiguousarray(data)
+    pat = np.frombuffer(pattern.encode("utf-8"), dtype=np.uint8)
+    pat = np.ascontiguousarray(pat) if len(pat) else np.zeros(1, np.uint8)
+    out = np.zeros(n, dtype=np.uint8)
+    lib.otters_fuzzy_mask(
+        data.ctypes.data, offsets.ctypes.data, n,
+        pat.ctypes.data, len(pattern.encode("utf-8")), int(max_dist),
+        out.ctypes.data,
+    )
+    return out

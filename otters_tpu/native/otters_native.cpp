@@ -69,4 +69,68 @@ void otters_bloom_build(const uint64_t* g1, const uint64_t* g2,
   }
 }
 
+
+// Bounded Levenshtein mask (fuzzy string matching, the reference roadmap's
+// "fuzzy matching" item). Banded DP: only the |i - j| <= k diagonal band can
+// hold values <= k, so each row costs O(2k+1); rows whose length differs
+// from the pattern by more than k are rejected outright.
+void otters_fuzzy_mask(const uint8_t* data, const int64_t* offsets, int64_t n,
+                       const uint8_t* pat, int64_t plen, int64_t k,
+                       uint8_t* out) {
+  const int64_t BIG = 1 << 30;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* s = data + offsets[i];
+    const int64_t slen = offsets[i + 1] - offsets[i];
+    int64_t diff = slen > plen ? slen - plen : plen - slen;
+    if (diff > k) {
+      out[i] = 0;
+      continue;
+    }
+    // dp over the pattern axis, banded around the main diagonal
+    int64_t prev[2 * 16 + 1];
+    int64_t cur[2 * 16 + 1];
+    int64_t kk = k > 16 ? 16 : k;  // band cap (max_dist clamped Python-side)
+    int64_t w = 2 * kk + 1;
+    // prev[c] = dist(s[0..r], pat[0..r + c - kk]) for row r
+    for (int64_t c = 0; c < w; ++c) {
+      int64_t j = 0 + c - kk;
+      prev[c] = (j >= 0 && j <= plen) ? (j >= 0 ? j : BIG) : BIG;
+    }
+    bool alive = true;
+    for (int64_t r = 1; r <= slen && alive; ++r) {
+      alive = false;
+      for (int64_t c = 0; c < w; ++c) {
+        int64_t j = r + c - kk;
+        if (j < 0 || j > plen) {
+          cur[c] = BIG;
+          continue;
+        }
+        int64_t best = BIG;
+        if (j > 0) {
+          // substitute / match: prev band col for (r-1, j-1) is c
+          int64_t d = prev[c];
+          if (d < BIG) best = d + (s[r - 1] != pat[j - 1] ? 1 : 0);
+          // insert into s (advance j only): cur band col for (r, j-1) is c-1
+          if (c > 0 && cur[c - 1] + 1 < best) best = cur[c - 1] + 1;
+        } else {
+          best = r;  // j == 0: delete everything so far
+        }
+        // delete from s (advance r only): prev band col for (r-1, j) is c+1
+        if (c + 1 < w && prev[c + 1] < BIG && prev[c + 1] + 1 < best)
+          best = prev[c + 1] + 1;
+        cur[c] = best;
+        if (best <= k) alive = true;
+      }
+      for (int64_t c = 0; c < w; ++c) prev[c] = cur[c];
+    }
+    // final distance sits at (slen, plen): band col = plen - slen + kk
+    int64_t fc = plen - slen + kk;
+    int64_t d = (fc >= 0 && fc < w) ? prev[fc] : BIG;
+    out[i] = (alive || slen == 0) && d <= k ? 1 : 0;
+  }
+}
+
 }  // extern "C"

@@ -120,9 +120,12 @@ class CmpOp(enum.Enum):
     Contains = "Contains"
     StartsWith = "StartsWith"
     EndsWith = "EndsWith"
+    Fuzzy = "Fuzzy"  # bounded edit distance (rhs = (pattern, max_dist))
 
 
-STRING_EXTENDED_OPS = (CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith)
+STRING_EXTENDED_OPS = (
+    CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith, CmpOp.Fuzzy
+)
 
 
 # metrics with no MXU mapping: excluded from the Pallas kernel + fast-exact
