@@ -395,13 +395,15 @@ def main() -> None:
         aot.wait_jit_ready(timeout=300.0)
         gc.collect()
 
+    store = None
     try:
         store, build_s = build_10m()
         qps10, warm, rec = run_10m(store)
-        del store
     except Exception:  # insurance: always emit a JSON line for the driver
         log("10M section failed:\n" + traceback.format_exc())
         qps10 = warm = rec = build_s = None
+    finally:
+        store = None  # release the 7.7 GB store even on failure
     drain()
     try:
         qps4 = run_f32(N4, "4M")
@@ -409,9 +411,22 @@ def main() -> None:
         log("4M section failed:\n" + traceback.format_exc())
         qps4 = None
     drain()
-    qps1 = run_f32(N1, "1M")
+    try:
+        qps1 = run_f32(N1, "1M")
+    except Exception:
+        log("1M section failed:\n" + traceback.format_exc())
+        qps1 = None
     drain()
     cpu_qps, cores = cpu_proxy_qps()
+    if qps10 is None and qps1 is None:
+        print(json.dumps({
+            "metric": "filtered_cosine_exact_top10_qps",
+            "value": 0.0,
+            "unit": "qps",
+            "vs_baseline": 0.0,
+            "extras": {"error": "all sections failed; see stderr"},
+        }))
+        return
     if qps10 is None:
         # degraded headline: the 1M exact config (scaled CPU proxy matches N)
         result = {
@@ -437,8 +452,8 @@ def main() -> None:
             "recall_at_10_after_rerank": round(rec, 4),
             "build_10m_s": round(build_s, 1),
             "warmup_first_query_s": round(warm, 2),
-            "qps_4Mx768_f32_exact": round(qps4, 1),
-            "qps_1Mx768_f32_exact": round(qps1, 1),
+            "qps_4Mx768_f32_exact": None if qps4 is None else round(qps4, 1),
+            "qps_1Mx768_f32_exact": None if qps1 is None else round(qps1, 1),
             "cpu_proxy_qps_measured": round(cpu_qps, 2),
             "cpu_proxy_cores": cores,
             "vs_baseline_per_core": round(qps10 / (cpu_qps / cores), 1),

@@ -45,6 +45,7 @@ from .ops import bloom as bloom_ops
 from .ops import hashing, predicate, scoring, wide64
 from .types import (
     STRING_EXTENDED_OPS,
+    VPU_METRICS,
     Cmp,
     CmpOp,
     DataType,

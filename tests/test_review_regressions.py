@@ -347,3 +347,24 @@ def test_jit_warm_triggers_on_second_use_only():
         assert aot.jit_is_ready("k1")
     finally:
         _t.Thread = orig
+
+
+def test_meta_panel_mode_reaches_vpu_gate(monkeypatch):
+    """The panel-mode gate in meta._prepare_program short-circuits on small
+    CPU stores, so a missing import there only explodes at scale (seen once
+    with VPU_METRICS). Force panel mode on a small store to keep the whole
+    branch covered."""
+    import otters_tpu.ops.scoring as scoring_mod
+
+    monkeypatch.setattr(scoring_mod, "DIRECT_LIMIT", 1 << 8)
+    rng = np.random.default_rng(98)
+    n, d = 5000, 16  # pads to a 512 multiple -> panel eligible
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(rng.normal(size=(n, d)).astype(np.float32))
+        .build()
+    )
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    for metric in (Metric.Cosine, Metric.Manhattan):
+        r = store.query_batch(q, metric).take(4).collect()
+        assert len(r) == 4
