@@ -113,9 +113,13 @@ class Expr:
         matching"). ``max_dist`` is clamped to 16."""
         if not isinstance(v, str):
             raise InvalidExpression()
+        try:
+            dist = max(0, min(int(max_dist), 16))
+        except (TypeError, ValueError):
+            raise InvalidExpression() from None
         return CmpExpr(
             self,
-            LiteralExpr(Literal("fuzzy", (v, max(0, min(int(max_dist), 16))))),
+            LiteralExpr(Literal("fuzzy", (v, dist))),
             CmpOp.Fuzzy,
         )
 

@@ -1152,6 +1152,13 @@ class MetaQueryPlan:
                         m = vals == leaf.rhs
                     elif leaf.cmp is CmpOp.Neq:
                         m = vals != leaf.rhs
+                    elif leaf.cmp is CmpOp.Fuzzy:
+                        from .ops import strmatch
+
+                        pattern, max_dist = leaf.rhs
+                        m = strmatch.fuzzy_mask(
+                            list(vals), nulls, pattern, max_dist
+                        )
                     elif leaf.cmp in STRING_EXTENDED_OPS:
                         m = np.fromiter(
                             (_str_cmp(v, leaf.rhs, leaf.cmp) for v in vals),

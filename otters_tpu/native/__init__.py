@@ -154,7 +154,11 @@ def bloom_build(
 
 
 def fuzzy_mask(strings: Sequence[str], pattern: str, max_dist: int):
-    """uint8[n] bounded-Levenshtein mask; None if the native lib lacks it."""
+    """uint8[n] bounded-Levenshtein mask; None if the native lib lacks it.
+
+    ``max_dist`` is clamped to the kernel's band width (16) — callers
+    needing larger distances must use the Python fallback."""
+    max_dist = min(int(max_dist), 16)
     lib = _load()
     if lib is None or not hasattr(lib, "otters_fuzzy_mask"):
         return None

@@ -286,6 +286,11 @@ def _vpu_block(q, vb, metric: Metric):
     hamming   : count of unequal components
     jaccard   : sum min(q, v) / sum max(q, v)  (weighted Jaccard over
                 non-negative vectors; 0 when both rows are all-zero)
+
+    For Hamming/Jaccard on bf16 storage, q and vb arrive in bfloat16 and the
+    compare/min/max run in that dtype directly — an f32->bf16->f32 rounding
+    round-trip would be elided by XLA's excess-precision rules on TPU, which
+    silently broke equality against the stored values.
     """
     ql = q[:, None, :]
     vl = vb[None, :, :]
@@ -293,8 +298,8 @@ def _vpu_block(q, vb, metric: Metric):
         return jnp.sum(jnp.abs(ql - vl), axis=-1)
     if metric is Metric.Hamming:
         return jnp.sum(ql != vl, axis=-1).astype(jnp.float32)
-    num = jnp.sum(jnp.minimum(ql, vl), axis=-1)
-    den = jnp.sum(jnp.maximum(ql, vl), axis=-1)
+    num = jnp.sum(jnp.minimum(ql, vl).astype(jnp.float32), axis=-1)
+    den = jnp.sum(jnp.maximum(ql, vl).astype(jnp.float32), axis=-1)
     return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), 0.0)
 
 
@@ -309,16 +314,26 @@ def _vpu_scores(queries, vecs, metric: Metric):
     b, d = queries.shape
     n = vecs.shape[0]
     blk = max(8, min(n, (1 << 26) // max(1, b * d)))
-    v = vecs.astype(jnp.float32)
+    if vecs.dtype == jnp.bfloat16 and metric in (
+        Metric.Hamming, Metric.Jaccard
+    ):
+        # equality/min/max against bf16-rounded storage only makes sense in
+        # the stored precision; compare IN bf16 (casting the query down once)
+        # — a down-up rounding round-trip in f32 would be elided by XLA's
+        # excess-precision optimization on TPU
+        queries = queries.astype(jnp.bfloat16)
+        v = vecs
+    else:
+        v = vecs.astype(jnp.float32)
     if n <= blk:
         return _vpu_block(queries, v, metric)
     n_blocks = -(-n // blk)
     n_pad = n_blocks * blk
     if n_pad != n:
-        # NaN padding: padded rows never satisfy any filter and are dropped
-        # by the NaN mask regardless of metric direction (zero padding would
-        # give Jaccard/Hamming padding rows legitimate-looking scores; the
-        # caller's validity mask handles them, this is defense in depth)
+        # NaN padding as defense in depth: Manhattan padding rows score NaN
+        # (dropped by the NaN mask); Hamming/Jaccard padding rows score a
+        # finite worst-ish value — the [:, :n] slice below and the caller's
+        # validity mask are what actually exclude them
         v = jnp.pad(v, ((0, n_pad - n), (0, 0)), constant_values=jnp.nan)
     vt = v.reshape(n_blocks, blk, d)
 

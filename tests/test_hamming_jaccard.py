@@ -119,3 +119,29 @@ def test_exact_rerank_hamming_jaccard():
         q, [0, 1, 2], lambda i: vecs[np.asarray(i)], Metric.Jaccard, 2
     )
     assert rows == [0, 1] and scores[0] == 1.0
+
+
+def test_hamming_jaccard_on_bf16_storage():
+    """bf16 storage: queries must be rounded to the stored precision, so a
+    row compared against its own f32 source scores 0 (Hamming) / 1 (Jaccard)
+    instead of all-components-unequal garbage."""
+    rng = np.random.default_rng(85)
+    n, d = 300, 16
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(vectors)
+        .with_storage_dtype("bfloat16")
+        .build()
+    )
+    r = store.query(vectors[7], Metric.Hamming).take(1).collect()
+    assert r.indices == [7] and r.scores[0] == 0.0
+    pos = np.abs(vectors)  # Jaccard needs non-negative data
+    store2 = (
+        MetaStore.from_columns([])
+        .with_vectors(pos)
+        .with_storage_dtype("bfloat16")
+        .build()
+    )
+    r2 = store2.query(pos[3], Metric.Jaccard).take(1).collect()
+    assert r2.indices == [3] and abs(r2.scores[0] - 1.0) < 1e-6
