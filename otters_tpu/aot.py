@@ -70,7 +70,9 @@ def _backend_tag() -> str:
         runtime = jax.extend.backend.get_backend().platform_version
     except Exception:
         runtime = ""
-    flags = os.environ.get("XLA_FLAGS", "")
+    flags = os.environ.get("XLA_FLAGS", "") + "|" + os.environ.get(
+        "OTTERS_PALLAS_INTERPRET", ""
+    )
     extra = hashlib.sha256(f"{runtime}|{flags}".encode()).hexdigest()[:8]
     return (
         f"{jax.__version__}|{dev.platform}|{dev.device_kind}|"
@@ -112,7 +114,10 @@ def _blob_path(key: str) -> Optional[str]:
         # different host); default the disk layer on only for TPU backends.
         # Set OTTERS_AOT_CACHE explicitly to opt in elsewhere.
         return None
-    os.makedirs(d, exist_ok=True)
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        return None  # read-only FS / path occupied: degrade to memory-only
     return os.path.join(d, f"{key}.jaxexe")
 
 
@@ -198,6 +203,8 @@ def clear_memory_cache() -> None:
 
 _jit_ready: set = set()
 _warming: set = set()
+_import_time = __import__("time").monotonic()
+_WARM_MIN_AGE_S = 60.0  # don't warm in processes younger than this
 
 
 def jit_is_ready(key: str) -> bool:
@@ -208,20 +215,29 @@ def ensure_jit_warm(key: str, jitted, args, static_kwargs) -> None:
     """Compile-and-run ``jitted`` once in a background thread; mark ``key``
     ready when done.
 
-    Only triggers once a signature has been used TWICE: a one-shot script
-    never starts the warm (whose non-daemon thread would otherwise make the
-    process wait out a full compile at exit), while any serving loop
-    triggers it on its second query. No-op if already ready/warming or if
-    OTTERS_AOT_NO_WARM is set.
+    Only triggers once a signature has been used TWICE *and* the process has
+    been alive for a minute: short-lived scripts never start the warm (whose
+    non-daemon thread would otherwise make the process wait out a full
+    compile at exit — and a daemon thread killed mid-XLA-compile aborts the
+    interpreter), while any serving loop warms within its first minute plus
+    one query. No-op if already ready/warming or if OTTERS_AOT_NO_WARM is
+    set.
 
     NOTE: the thread's closure keeps ``args`` (device buffers) alive until
     the warm finishes; before dropping a multi-GB store to rebuild another,
     call :func:`wait_jit_ready` so HBM is actually released."""
+    import time as _time
+
     if os.environ.get("OTTERS_AOT_NO_WARM"):
         return
     with _lock:
         _hits[key] = _hits.get(key, 0) + 1
-        if _hits[key] < 2 or key in _jit_ready or key in _warming:
+        if (
+            _hits[key] < 2
+            or _time.monotonic() - _import_time < _WARM_MIN_AGE_S
+            or key in _jit_ready
+            or key in _warming
+        ):
             return
         _warming.add(key)
 

@@ -231,7 +231,12 @@ class Column:
             return None
         if dt in (DataType.Int32, DataType.Int64, DataType.DateTime):
             info = np.iinfo(dt.numpy_dtype)
-            if arr.size and (arr.min() < info.min or arr.max() > info.max):
+            # compare through Python ints: numpy<2 compares uint64 vs int
+            # via float64, where 2^63 and int64 max round together and the
+            # guard would silently pass a wrapping cast
+            if arr.size and (
+                int(arr.min()) < info.min or int(arr.max()) > info.max
+            ):
                 return None  # push raises the overflow per-value
         self._data.extend(arr.astype(dt.numpy_dtype, copy=False))
         self._null_mask.extend(np.zeros(len(arr), dtype=np.bool_))

@@ -46,7 +46,6 @@ def exact_rerank(
     q = np.asarray(queries, dtype=np.float32)
     if q.ndim == 1:
         q = q[None, :]
-    q_sq, q_inv = (q * q).sum(1), None
     if metric is Metric.Cosine:
         qn = np.linalg.norm(q, axis=1)
         vn = np.linalg.norm(v, axis=1)
@@ -55,7 +54,11 @@ def exact_rerank(
     elif metric is Metric.DotProduct:
         s = q @ v.T
     elif metric is Metric.Euclidean:
-        s = q_sq[:, None] + (v * v).sum(1)[None, :] - 2.0 * (q @ v.T)
+        s = (
+            (q * q).sum(1)[:, None]
+            + (v * v).sum(1)[None, :]
+            - 2.0 * (q @ v.T)
+        )
     elif metric is Metric.Hamming:
         s = (q[:, None, :] != v[None, :, :]).sum(axis=2).astype(np.float32)
     elif metric is Metric.Jaccard:
@@ -65,8 +68,12 @@ def exact_rerank(
     else:  # Manhattan
         s = np.abs(q[:, None, :] - v[None, :, :]).sum(axis=2)
     flat = s.reshape(-1)
-    order = np.argsort(flat, kind="stable")
-    order = order[:k] if take_min else order[::-1][:k]
+    # stable sorts keyed the take direction keep lower-index-first tie order,
+    # matching lax.top_k and the device paths
+    if take_min:
+        order = np.argsort(flat, kind="stable")[:k]
+    else:
+        order = np.argsort(-flat, kind="stable")[:k]
     rows = cand[order % len(cand)]
     return rows.tolist(), flat[order].tolist()
 

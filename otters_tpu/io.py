@@ -25,15 +25,9 @@ _FORMAT_VERSION = 1
 
 
 def _pack_strings(strings):
-    encoded = [s.encode("utf-8") for s in strings]
-    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
-    np.cumsum([len(e) for e in encoded], out=offsets[1:])
-    data = (
-        np.frombuffer(b"".join(encoded), dtype=np.uint8)
-        if encoded
-        else np.zeros(0, np.uint8)
-    )
-    return data, offsets
+    from .native import pack_utf8_arena
+
+    return pack_utf8_arena(strings)
 
 
 def _unpack_strings(data: np.ndarray, offsets: np.ndarray):

@@ -895,8 +895,8 @@ class MetaStore:
         # the signature is invariant per (plan, batch size, knobs) for a
         # given store; memoize it so steady-state dispatch skips the pytree
         # flatten + sha256 on every query
-        memo = (plan_static, queries.shape[0], k_eff, metric, take_min, cmp,
-                self.precision, tile, fast)
+        memo = (plan_static, queries.shape[0], str(queries.dtype), k_eff,
+                metric, take_min, cmp, self.precision, tile, fast)
         key = self._aot_key_cache.get(memo)
         if key is None:
             key = aot.signature(

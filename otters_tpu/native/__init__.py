@@ -99,6 +99,20 @@ def _load() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def pack_utf8_arena(strings: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """[data uint8, offsets int64]: the contiguous UTF-8 arena layout shared
+    by the native kernels and the .npz string persistence format."""
+    encoded = [s.encode("utf-8") for s in strings]
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    data = (
+        np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        if encoded
+        else np.zeros(0, np.uint8)
+    )
+    return np.ascontiguousarray(data), offsets
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -109,13 +123,7 @@ def hash_strings(strings: Sequence[str]) -> Optional[Tuple[np.ndarray, np.ndarra
     if lib is None:
         return None
     n = len(strings)
-    encoded = [s.encode("utf-8") for s in strings]
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum([len(e) for e in encoded], out=offsets[1:])
-    data = np.frombuffer(b"".join(encoded), dtype=np.uint8) if n else np.zeros(
-        0, np.uint8
-    )
-    data = np.ascontiguousarray(data)
+    data, offsets = pack_utf8_arena(strings)
     g1 = np.empty(n, dtype=np.uint64)
     g2 = np.empty(n, dtype=np.uint64)
     lib.otters_hash_strings(
@@ -163,13 +171,7 @@ def fuzzy_mask(strings: Sequence[str], pattern: str, max_dist: int):
     if lib is None or not hasattr(lib, "otters_fuzzy_mask"):
         return None
     n = len(strings)
-    encoded = [s.encode("utf-8") for s in strings]
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum([len(e) for e in encoded], out=offsets[1:])
-    data = np.frombuffer(b"".join(encoded), dtype=np.uint8) if n else np.zeros(
-        0, np.uint8
-    )
-    data = np.ascontiguousarray(data)
+    data, offsets = pack_utf8_arena(strings)
     pat = np.frombuffer(pattern.encode("utf-8"), dtype=np.uint8)
     pat = np.ascontiguousarray(pat) if len(pat) else np.zeros(1, np.uint8)
     out = np.zeros(n, dtype=np.uint8)

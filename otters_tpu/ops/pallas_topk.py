@@ -201,7 +201,7 @@ def fast_ok(metric: Metric, take_min: bool, cmp, k: int, prec: str) -> bool:
         "metric", "k", "take_min", "cmp", "prec", "interpret", "fast"
     ),
 )
-def pallas_topk(
+def _pallas_topk_jit(
     vectors,
     norms_sq,
     inv_norms,
@@ -236,7 +236,6 @@ def pallas_topk(
 
     Returns (rows[k], scores[k], valid[k], check).
     """
-    interpret = interpret or interpret_forced()
     n_pad, d = vectors.shape
     b = queries.shape[0]
     int8_mode = vectors.dtype == jnp.int8
@@ -477,6 +476,49 @@ def interpret_forced() -> bool:
     import os
 
     return bool(os.environ.get("OTTERS_PALLAS_INTERPRET"))
+
+
+def pallas_topk(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    tile_alive,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str = "highest",
+    interpret: bool = False,
+    fast: bool = False,
+    q_valid=None,
+):
+    """Public entry: resolves OTTERS_PALLAS_INTERPRET OUTSIDE the jit so the
+    flag participates in the jit cache key (reading it inside the traced
+    function would bake the first call's value into every later call).
+    See _pallas_topk_jit for the kernel documentation."""
+    return _pallas_topk_jit(
+        vectors,
+        norms_sq,
+        inv_norms,
+        valid,
+        queries,
+        row_mask,
+        thr,
+        tile_alive,
+        metric=metric,
+        k=k,
+        take_min=take_min,
+        cmp=cmp,
+        prec=prec,
+        interpret=interpret or interpret_forced(),
+        fast=fast,
+        q_valid=q_valid,
+    )
 
 
 def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:

@@ -327,6 +327,10 @@ def test_jit_warm_triggers_on_second_use_only():
     calls = []
     import threading as _t
 
+    # defeat the process-age gate (short-lived-script protection)
+    orig_age = aot._WARM_MIN_AGE_S
+    aot._WARM_MIN_AGE_S = 0.0
+
     orig = _t.Thread
 
     class Spy(orig):
@@ -347,6 +351,7 @@ def test_jit_warm_triggers_on_second_use_only():
         assert aot.jit_is_ready("k1")
     finally:
         _t.Thread = orig
+        aot._WARM_MIN_AGE_S = orig_age
 
 
 def test_meta_panel_mode_reaches_vpu_gate(monkeypatch):
