@@ -46,7 +46,7 @@ from .errors import (
     UnknownColumn,
     UnsupportedStringOp,
 )
-from .types import CmpOp, DataType
+from .types import CmpOp, DataType, NEGATED_CMP
 
 # ---------------------------------------------------------------------------
 # AST
@@ -123,17 +123,67 @@ class Expr:
             CmpOp.Fuzzy,
         )
 
+    def is_null(self) -> "Expr":
+        """Row's value is null (extends the reference; works on any dtype).
+
+        The only predicate (with ``is_not_null``) that can *select* null
+        rows — every value comparison excludes them (meta_compute.rs:194-232).
+        Chunk pruning uses the zonemap non-null counts: a chunk with no nulls
+        is skipped entirely.
+        """
+        return CmpExpr(self, LiteralExpr(Literal("unit", None)), CmpOp.IsNull)
+
+    def is_not_null(self) -> "Expr":
+        """Row's value is not null (extends the reference)."""
+        return CmpExpr(
+            self, LiteralExpr(Literal("unit", None)), CmpOp.IsNotNull
+        )
+
+    def isin(self, values) -> "Expr":
+        """Value equals any of ``values`` (extends the reference).
+
+        Sugar for ``eq(v0) | eq(v1) | ...`` — compiles to one OR-clause, so
+        zonemap / Bloom pruning applies per value.
+        """
+        values = list(values)
+        if not values:
+            raise InvalidExpression()
+        expr = self.eq(values[0])
+        for v in values[1:]:
+            expr = expr | self.eq(v)
+        return expr
+
+    def between(self, lo, hi) -> "Expr":
+        """Inclusive range ``lo <= value <= hi`` (extends the reference).
+
+        Sugar for ``gte(lo) & lte(hi)``.
+        """
+        return self.gte(lo) & self.lte(hi)
+
     def and_(self, other: "Expr") -> "Expr":
         return And(self, other)
 
     def or_(self, other: "Expr") -> "Expr":
         return Or(self, other)
 
+    def not_(self) -> "Expr":
+        """Logical negation (extends the reference, which has no Not).
+
+        Lowered by De Morgan push-down to negated leaves before CNF:
+        ``~(a & b) == ~a | ~b``; ``~col.eq(v) == col.neq(v)`` (so, like every
+        value predicate, negations never select null rows; negate
+        ``is_null()`` to select non-nulls explicitly).
+        """
+        return Not(self)
+
     def __and__(self, other: "Expr") -> "Expr":
         return And(self, other)
 
     def __or__(self, other: "Expr") -> "Expr":
         return Or(self, other)
+
+    def __invert__(self) -> "Expr":
+        return Not(self)
 
     def compile(self, schema: Dict[str, DataType]) -> "CompiledFilter":
         """Type-check against `schema` and lower to CNF (expr.rs:290-297)."""
@@ -170,6 +220,11 @@ class Or(Expr):
     right: Expr
 
 
+@dataclass(frozen=True)
+class Not(Expr):
+    inner: Expr
+
+
 def col(name: str) -> Expr:
     """Column reference builder (expr.rs:109-111)."""
     return ColumnRef(name)
@@ -189,7 +244,7 @@ def lit(v) -> Expr:
 class ColumnFilter:
     """A compiled, typed leaf predicate (expr.rs:199-211).
 
-    kind: 'numeric' or 'string'.
+    kind: 'numeric', 'string', or 'null' (is_null / is_not_null, any dtype).
     rhs_kind: for numeric leaves, 'i64' or 'f64' (NumericLiteral tag).
     """
 
@@ -247,7 +302,23 @@ def _normalize_plan(plan: Plan) -> tuple:
     return tuple(out)
 
 
+def _negate(expr: Expr) -> Expr:
+    """Push a Not down to the leaves (De Morgan). NEGATED_CMP is a total
+    involution over CmpOp, so every well-formed expression negates."""
+    if isinstance(expr, Not):
+        return expr.inner
+    if isinstance(expr, And):
+        return Or(_negate(expr.left), _negate(expr.right))
+    if isinstance(expr, Or):
+        return And(_negate(expr.left), _negate(expr.right))
+    if isinstance(expr, CmpExpr):
+        return CmpExpr(expr.left, expr.right, NEGATED_CMP[expr.op])
+    raise InvalidExpression()
+
+
 def _lower_to_plan(expr: Expr, schema: Dict[str, DataType]) -> Plan:
+    if isinstance(expr, Not):
+        return _lower_to_plan(_negate(expr.inner), schema)
     if isinstance(expr, And):
         left = _lower_to_plan(expr.left, schema)
         right = _lower_to_plan(expr.right, schema)
@@ -277,12 +348,18 @@ def _compile_cmp_leaf(
         raise UnknownColumn(name)
     dtype = schema[name]
 
-    from .types import STRING_EXTENDED_OPS
+    from .types import NULL_OPS, STRING_EXTENDED_OPS
+
+    if op in NULL_OPS:
+        # null predicates apply to every column dtype
+        if literal.kind != "unit":
+            raise InvalidComparison()
+        return ColumnFilter("null", name, op, None)
 
     if dtype is DataType.String:
         if op not in (CmpOp.Eq, CmpOp.Neq) + STRING_EXTENDED_OPS:
             raise UnsupportedStringOp(name)
-        if op is CmpOp.Fuzzy:
+        if op in (CmpOp.Fuzzy, CmpOp.NotFuzzy):
             if literal.kind != "fuzzy":
                 raise TypeMismatch(name, dtype, "fuzzy pattern")
             return ColumnFilter("string", name, op, literal.value)

@@ -794,16 +794,25 @@ class MetaStore:
         cached = self._hostmask_cache.get(key)
         if cached is not None:
             return cached
+        from .types import NEGATED_CMP
+
         colo = self.columns()[leaf.column]
         n = self._n_rows
         nulls = np.asarray(colo.null_mask(), dtype=bool)[:n]
         vals = colo.values()
         rhs = leaf.rhs
-        if leaf.cmp is CmpOp.Contains:
+        negated = leaf.cmp in (
+            CmpOp.NotContains,
+            CmpOp.NotStartsWith,
+            CmpOp.NotEndsWith,
+            CmpOp.NotFuzzy,
+        )
+        base_cmp = NEGATED_CMP[leaf.cmp] if negated else leaf.cmp
+        if base_cmp is CmpOp.Contains:
             pred = lambda v: rhs in v  # noqa: E731
-        elif leaf.cmp is CmpOp.StartsWith:
+        elif base_cmp is CmpOp.StartsWith:
             pred = lambda v: v.startswith(rhs)  # noqa: E731
-        elif leaf.cmp is CmpOp.EndsWith:
+        elif base_cmp is CmpOp.EndsWith:
             pred = lambda v: v.endswith(rhs)  # noqa: E731
         else:  # Fuzzy: one vectorized (native C++ when available) pass
             from .ops import strmatch
@@ -817,6 +826,9 @@ class MetaStore:
                 bool,
                 count=n,
             )
+        if negated:
+            # De Morgan leaves keep the nulls-excluded convention
+            m = ~np.asarray(m, dtype=bool) & ~nulls
         n_pad = self._dv.vectors.shape[0]
         row = np.zeros(n_pad, dtype=bool)
         row[:n] = m
@@ -1037,6 +1049,10 @@ class MetaQueryPlan:
         dtype = store.schema()[leaf.column]
         import jax.numpy as jnp
 
+        if leaf.kind == "null":
+            # is_null / is_not_null: chunk pruning needs the per-chunk row
+            # counts (nulls-in-chunk = len - non_null)
+            return ("null", leaf.column, leaf.cmp), (store._chunk_lens,)
         if leaf.kind == "string" and leaf.cmp in STRING_EXTENDED_OPS:
             return ("hostmask", leaf.column, leaf.cmp), store._hostmask_for(leaf)
         if leaf.kind == "string":
@@ -1102,7 +1118,7 @@ class MetaQueryPlan:
         `as i32` (meta_compute.rs:259) so host verification agrees with the
         device/reference semantics."""
         if (
-            leaf.kind != "string"
+            leaf.kind == "numeric"
             and self._store.schema()[leaf.column] is DataType.Int32
         ):
             return int(np.int64(leaf.rhs).astype(np.int32))
@@ -1116,6 +1132,12 @@ class MetaQueryPlan:
             ok = False
             for leaf in clause:
                 c = cols[leaf.column]
+                if leaf.kind == "null":
+                    isnull = bool(c.null_mask()[i])
+                    if isnull if leaf.cmp is CmpOp.IsNull else not isnull:
+                        ok = True
+                        break
+                    continue
                 if bool(c.null_mask()[i]):
                     continue
                 v = c.values()[i]
@@ -1146,19 +1168,24 @@ class MetaQueryPlan:
             for leaf in clause:
                 c = store.columns()[leaf.column]
                 nulls = np.asarray(c.null_mask(), dtype=bool)[:n]
+                if leaf.kind == "null":
+                    cm |= nulls if leaf.cmp is CmpOp.IsNull else ~nulls
+                    continue
                 if leaf.kind == "string":
                     vals = np.asarray(c.values()[:n], dtype=object)
                     if leaf.cmp is CmpOp.Eq:
                         m = vals == leaf.rhs
                     elif leaf.cmp is CmpOp.Neq:
                         m = vals != leaf.rhs
-                    elif leaf.cmp is CmpOp.Fuzzy:
+                    elif leaf.cmp in (CmpOp.Fuzzy, CmpOp.NotFuzzy):
                         from .ops import strmatch
 
                         pattern, max_dist = leaf.rhs
                         m = strmatch.fuzzy_mask(
                             list(vals), nulls, pattern, max_dist
                         )
+                        if leaf.cmp is CmpOp.NotFuzzy:
+                            m = ~np.asarray(m, dtype=bool)
                     elif leaf.cmp in STRING_EXTENDED_OPS:
                         m = np.fromiter(
                             (_str_cmp(v, leaf.rhs, leaf.cmp) for v in vals),
@@ -1410,6 +1437,15 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
 
 
 def _str_cmp(v: str, rhs, cmp: CmpOp) -> bool:
+    if cmp in (
+        CmpOp.NotContains,
+        CmpOp.NotStartsWith,
+        CmpOp.NotEndsWith,
+        CmpOp.NotFuzzy,
+    ):
+        from .types import NEGATED_CMP
+
+        return not _str_cmp(v, rhs, NEGATED_CMP[cmp])
     if cmp is CmpOp.Eq:
         return v == rhs
     if cmp is CmpOp.Neq:

@@ -36,12 +36,19 @@ from . import wide64
 #   'i32' / 'f32' : (thr,)
 #   'w64'         : (thr_hi, thr_lo)
 #   'str'         : (rh_hi, rh_lo, bloom_words, bloom_masks)
+#   'hostmask'    : (row_mask[n_pad], chunk_any[n_chunks])
+#   'null'        : (chunk_lens[n_chunks],)
 
 
 def _leaf_row_mask(leaf, params, cols):
     rep, name, cmp = leaf
     c = cols[name]
     not_null = ~c["null"]
+    if rep == "null":
+        # is_null / is_not_null: the only predicates that can select nulls.
+        # Padding rows read as null but the scoring core's validity mask
+        # excludes them regardless (scoring.py: ok = valid[None, :]).
+        return c["null"] if cmp is CmpOp.IsNull else not_null
     if rep in ("i32", "f32"):
         (thr,) = params
         v = c["vals"]
@@ -99,6 +106,14 @@ def _leaf_chunk_mask(leaf, params, cols):
     rep, name, cmp = leaf
     c = cols[name]
     has_values = c["non_null"] > 0
+    if rep == "null":
+        # params = (chunk_lens,): a chunk with no null rows is pruned for
+        # is_null; one with no values is pruned for is_not_null. Padded
+        # chunks have len == non_null == 0 and never survive either.
+        if cmp is CmpOp.IsNull:
+            (clens,) = params
+            return clens.astype(jnp.int32) > c["non_null"].astype(jnp.int32)
+        return has_values
     if rep == "nanthr":
         if cmp is CmpOp.Neq:
             return has_values

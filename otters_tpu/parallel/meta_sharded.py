@@ -167,12 +167,14 @@ def _jit_sharded_program():
         )
         # per-leaf specs for the plan parameters: hostmask leaves carry a
         # row mask [n_pad] and a chunk mask [n_chunks] sharded along rows;
-        # every other leaf (thresholds, hashes, Bloom probe coords) is
-        # replicated
+        # null leaves carry the [n_chunks] chunk-length array; every other
+        # leaf (thresholds, hashes, Bloom probe coords) is replicated
         params_specs = tuple(
             tuple(
                 (P("rows"), P("rows"))
                 if leaf[0] == "hostmask"
+                else (P("rows"),)
+                if leaf[0] == "null"
                 else tuple(P() for _ in params_leaf)
                 for leaf, params_leaf in zip(clause, clause_params)
             )

@@ -121,11 +121,46 @@ class CmpOp(enum.Enum):
     StartsWith = "StartsWith"
     EndsWith = "EndsWith"
     Fuzzy = "Fuzzy"  # bounded edit distance (rhs = (pattern, max_dist))
+    # negated string predicates, produced by `~expr` De Morgan push-down;
+    # like the reference's Neq they never select null rows
+    NotContains = "NotContains"
+    NotStartsWith = "NotStartsWith"
+    NotEndsWith = "NotEndsWith"
+    NotFuzzy = "NotFuzzy"
+    # null predicates (any column dtype; the only ops that can SELECT nulls)
+    IsNull = "IsNull"
+    IsNotNull = "IsNotNull"
 
 
 STRING_EXTENDED_OPS = (
-    CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith, CmpOp.Fuzzy
+    CmpOp.Contains, CmpOp.StartsWith, CmpOp.EndsWith, CmpOp.Fuzzy,
+    CmpOp.NotContains, CmpOp.NotStartsWith, CmpOp.NotEndsWith,
+    CmpOp.NotFuzzy,
 )
+
+NULL_OPS = (CmpOp.IsNull, CmpOp.IsNotNull)
+
+# total involution: the comparator of `~leaf` under nulls-excluded semantics
+# (matches the reference's convention that value predicates never select
+# nulls, meta_compute.rs:194-232 — so ~eq(v) == neq(v), SQL-style)
+NEGATED_CMP = {
+    CmpOp.Eq: CmpOp.Neq,
+    CmpOp.Neq: CmpOp.Eq,
+    CmpOp.Lt: CmpOp.Gte,
+    CmpOp.Lte: CmpOp.Gt,
+    CmpOp.Gt: CmpOp.Lte,
+    CmpOp.Gte: CmpOp.Lt,
+    CmpOp.Contains: CmpOp.NotContains,
+    CmpOp.NotContains: CmpOp.Contains,
+    CmpOp.StartsWith: CmpOp.NotStartsWith,
+    CmpOp.NotStartsWith: CmpOp.StartsWith,
+    CmpOp.EndsWith: CmpOp.NotEndsWith,
+    CmpOp.NotEndsWith: CmpOp.EndsWith,
+    CmpOp.Fuzzy: CmpOp.NotFuzzy,
+    CmpOp.NotFuzzy: CmpOp.Fuzzy,
+    CmpOp.IsNull: CmpOp.IsNotNull,
+    CmpOp.IsNotNull: CmpOp.IsNull,
+}
 
 
 # metrics with no MXU mapping: excluded from the Pallas kernel + fast-exact
