@@ -87,6 +87,7 @@ def save_meta(store: MetaStore, path: str) -> None:
         "bloom_val": bloom_val,
         "schema": schema,
         "sort_by": list(store._sort_by) if store._sort_by else None,
+        "z_order": list(store._z_order) if store._z_order else None,
         "storage_dtype": store._storage_dtype,
     }
     arrays["manifest"] = np.frombuffer(
@@ -129,6 +130,8 @@ def load_meta(path: str) -> MetaStore:
         if manifest.get("sort_by"):
             sc, desc = manifest["sort_by"]
             builder = builder.with_sort_by(sc, desc)
+        if manifest.get("z_order"):
+            builder = builder.with_z_order(manifest["z_order"])
         builder = builder.with_storage_dtype(
             manifest.get("storage_dtype", "float32")
         )

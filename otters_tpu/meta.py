@@ -148,6 +148,47 @@ def _sort_permutation(col: Column, n: int, descending: bool) -> np.ndarray:
     return np.concatenate([sub, np.flatnonzero(nulls)]).astype(np.int64)
 
 
+def _zorder_permutation(columns, names, n: int) -> np.ndarray:
+    """Stable permutation ordering rows along a Z-order (Morton) curve over
+    several columns — the reference's roadmap item "Ability to reorder
+    metadata for better pruning (Something like Z-ordering)".
+
+    Each column is reduced to a dense-rank code (equal values share a code;
+    robust to skew, works for every dtype including String via lexicographic
+    ranks) scaled to ``b = min(16, 64 // k)`` bits, and the codes are
+    bit-interleaved into one uint64 key. Nulls take the maximum code, so
+    they cluster in the high corner of the curve (and all-null runs still
+    prune via the zonemap non-null counts)."""
+    k = len(names)
+    b = min(16, 64 // k)
+    top = (1 << b) - 1
+    codes = []
+    for nm in names:
+        colo = columns[nm]
+        nulls = np.asarray(colo.null_mask(), dtype=bool)[:n]
+        if colo.dtype is DataType.String:
+            vals = np.asarray(list(colo.values())[:n], dtype=object)
+        else:
+            vals = np.asarray(colo.values())[:n]
+        code = np.full(n, top, dtype=np.uint64)
+        idx_nn = np.flatnonzero(~nulls)
+        if idx_nn.size:
+            _, ranks = np.unique(vals[idx_nn], return_inverse=True)
+            u = int(ranks.max()) if ranks.size else 0
+            scaled = (
+                (ranks.astype(np.float64) * (top / u)).round().astype(np.uint64)
+                if u > 0
+                else np.zeros(idx_nn.size, dtype=np.uint64)
+            )
+            code[idx_nn] = scaled
+        codes.append(code)
+    key = np.zeros(n, dtype=np.uint64)
+    for j in range(b):
+        for i, code in enumerate(codes):
+            key |= ((code >> np.uint64(j)) & np.uint64(1)) << np.uint64(j * k + i)
+    return np.argsort(key, kind="stable").astype(np.int64)
+
+
 def _permute_column(col: Column, perm: np.ndarray) -> Column:
     new = Column(col.name, col.dtype)
     nulls = np.asarray(col.null_mask(), dtype=bool)[perm]
@@ -359,6 +400,7 @@ class MetaStoreBuilder:
         self._chunk_size = 1024
         self._bloom: Tuple[str, float] = ("fpr", 0.01)
         self._sort_by = None
+        self._z_order = None
         self._storage_dtype = "float32"
 
     def with_vectors(self, vectors, n_rows=None) -> "MetaStoreBuilder":
@@ -383,6 +425,21 @@ class MetaStoreBuilder:
         are clustered by common filter columns. Result indices still refer
         to the ORIGINAL ingestion order."""
         self._sort_by = (column, bool(descending))
+        return self
+
+    def with_z_order(self, columns) -> "MetaStoreBuilder":
+        """Cluster rows along a Z-order (Morton) curve over several columns
+        before chunking (the reference's roadmap item verbatim): every
+        listed column gets locality, so zonemaps prune filters on ANY of
+        them — where ``with_sort_by`` only helps its one column. Result
+        indices still refer to the ORIGINAL ingestion order. Mutually
+        exclusive with ``with_sort_by``; 1-8 columns."""
+        names = [str(c) for c in columns]
+        if not 1 <= len(names) <= 8:
+            raise OttersError("with_z_order takes between 1 and 8 columns")
+        if len(set(names)) != len(names):
+            raise OttersError("with_z_order columns must be distinct")
+        self._z_order = tuple(names)
         return self
 
     def with_storage_dtype(self, dtype: str) -> "MetaStoreBuilder":
@@ -438,10 +495,11 @@ class MetaStoreBuilder:
                     "with_vectors(DeviceVecs) requires n_rows (the logical "
                     "row count; the buffers are padded)"
                 )
-            if self._sort_by is not None:
+            if self._sort_by is not None or self._z_order is not None:
                 raise OttersError(
-                    "with_sort_by is not supported for pre-built DeviceVecs "
-                    "(generate the slabs in sorted order instead)"
+                    "with_sort_by / with_z_order are not supported for "
+                    "pre-built DeviceVecs (generate the slabs in sorted "
+                    "order instead)"
                 )
             n_rows = int(self._vectors_n)
             dim = int(vectors.vectors.shape[1])
@@ -494,6 +552,11 @@ class MetaStoreBuilder:
 
         index_map = None
         orig_columns = None
+        perm = None
+        if self._sort_by is not None and self._z_order is not None:
+            raise OttersError(
+                "with_sort_by and with_z_order are mutually exclusive"
+            )
         if self._sort_by is not None:
             sort_col, desc = self._sort_by
             if sort_col not in self._schema:
@@ -501,6 +564,14 @@ class MetaStoreBuilder:
                     f"unknown column '{sort_col}' not present in schema"
                 )
             perm = _sort_permutation(self._columns[sort_col], n_rows, desc)
+        elif self._z_order is not None:
+            for nm in self._z_order:
+                if nm not in self._schema:
+                    raise OttersError(
+                        f"unknown column '{nm}' not present in schema"
+                    )
+            perm = _zorder_permutation(self._columns, self._z_order, n_rows)
+        if perm is not None:
             orig_columns = self._columns
             self._columns = {
                 name: _permute_column(c, perm)
@@ -578,6 +649,7 @@ class MetaStoreBuilder:
         store._index_map = index_map
         store._orig_columns = orig_columns
         store._sort_by = self._sort_by
+        store._z_order = self._z_order
         store._storage_dtype = self._storage_dtype
         store._build_stats = MetaBuildStats(
             n_rows=n_rows,
@@ -610,7 +682,8 @@ class MetaStore:
         self._col_reprs: Dict[str, str] = {}
         self._bloom_params: Dict[str, bloom_ops.BloomParams] = {}
         self._chunk_lens = None
-        self._index_map = None  # set when built with with_sort_by
+        self._index_map = None  # set when built with with_sort_by/with_z_order
+        self._z_order = None
         self._orig_columns = None
         self._sort_by = None
         self._storage_dtype = "float32"
@@ -741,6 +814,8 @@ class MetaStore:
         )
         if self._sort_by is not None:
             builder = builder.with_sort_by(self._sort_by[0], self._sort_by[1])
+        if self._z_order is not None:
+            builder = builder.with_z_order(self._z_order)
         builder = builder.with_storage_dtype(self._storage_dtype)
         new = builder.build()
         new.precision = self.precision

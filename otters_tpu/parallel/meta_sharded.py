@@ -235,6 +235,7 @@ class ShardedMetaStore(MetaStore):
         out._index_map = store._index_map
         out._orig_columns = store._orig_columns
         out._sort_by = store._sort_by
+        out._z_order = store._z_order
         out._n_deleted = store._n_deleted
         out._bloom_config = store._bloom_config
         out._storage_dtype = store._storage_dtype
