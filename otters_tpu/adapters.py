@@ -38,7 +38,7 @@ def _dtype_for(series) -> DataType:
             return DataType.Int32
         return DataType.Int64
     if pd.api.types.is_bool_dtype(dt):
-        return DataType.Int32
+        return DataType.Bool
     return DataType.String
 
 
@@ -60,6 +60,10 @@ def column_from_series(series, name: str = None) -> Column:
         ns = series.astype("datetime64[ms]", errors="ignore")
         vals = ns.to_numpy(dtype="datetime64[ms]").astype(np.int64)
         vals = np.where(nulls, DataType.DateTime.sentinel, vals)
+        col._set_raw(vals, nulls)
+        return col
+    if dt is DataType.Bool:
+        vals = series.to_numpy(dtype=np.bool_, na_value=False)
         col._set_raw(vals, nulls)
         return col
     np_dtype = dt.numpy_dtype

@@ -148,6 +148,9 @@ class Column:
     def datetime_values(self):
         return self._typed_values(DataType.DateTime)
 
+    def bool_values(self):
+        return self._typed_values(DataType.Bool)
+
     def values(self):
         """Raw stored values (sentinels included), like col.rs:493-502."""
         if self._dtype is DataType.String:
@@ -188,6 +191,10 @@ class Column:
             else:
                 raise ColumnTypeMismatch(dt, type(value).__name__)
             self._data.push(np.int64(millis))
+        elif dt is DataType.Bool:
+            if not isinstance(value, (bool, np.bool_)):
+                raise ColumnTypeMismatch(dt, type(value).__name__)
+            self._data.push(bool(value))
         elif dt in (DataType.Int32, DataType.Int64):
             if isinstance(value, bool) or not isinstance(
                 value, (int, np.integer)
@@ -215,6 +222,12 @@ class Column:
         integer or floating arrays, DateTime takes integer epoch-millis.
         """
         dt = self._dtype
+        if dt is DataType.Bool:
+            if arr.ndim != 1 or arr.dtype != np.bool_:
+                return None
+            self._data.extend(arr)
+            self._null_mask.extend(np.zeros(len(arr), dtype=np.bool_))
+            return self
         kind_ok = {
             DataType.Int32: (np.integer,),
             DataType.Int64: (np.integer,),
@@ -315,6 +328,8 @@ class Column:
                     print(f"  [{i}]: {s} ({ms})")
                 except (OverflowError, OSError, ValueError):
                     print(f"  [{i}]: Invalid timestamp ({ms})")
+            elif dt is DataType.Bool:
+                print(f"  [{i}]: {'true' if self._data.view()[i] else 'false'}")
             else:
                 print(f"  [{i}]: {int(self._data.view()[i])}")
         if len(self) > n:

@@ -73,6 +73,8 @@ def format_cell(col: Column, i: int) -> str:
         return f"{float(col.values()[i]):.4f}"
     if dt is DataType.String:
         return col.values()[i]
+    if dt is DataType.Bool:
+        return "true" if col.values()[i] else "false"
     # DateTime
     ms = int(col.values()[i])
     try:

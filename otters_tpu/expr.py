@@ -64,8 +64,11 @@ class Literal:
 def _to_literal(v) -> Literal:
     if isinstance(v, Literal):
         return v
-    if isinstance(v, bool):
-        raise InvalidExpression()
+    if isinstance(v, (bool, np.bool_)):
+        # Bool columns extend the reference; bool literals only match them
+        # (an int column still rejects True with TypeMismatch, like the
+        # reference rejects bools outright)
+        return Literal("bool", bool(v))
     if isinstance(v, (int, np.integer)):
         return Literal("i64", int(v))
     if isinstance(v, (float, np.floating)):
@@ -368,6 +371,15 @@ def _compile_cmp_leaf(
         return ColumnFilter("string", name, op, literal.value)
     if op in STRING_EXTENDED_OPS:
         raise TypeMismatch(name, dtype, "string predicate")
+
+    if dtype is DataType.Bool:
+        if literal.kind != "bool":
+            raise TypeMismatch(name, dtype, "bool")
+        if op not in (CmpOp.Eq, CmpOp.Neq):
+            raise InvalidComparison()
+        return ColumnFilter("numeric", name, op, bool(literal.value), "bool")
+    if literal.kind == "bool":
+        raise TypeMismatch(name, dtype, "bool")
 
     if dtype in (DataType.Int32, DataType.Int64):
         if literal.kind == "f64":

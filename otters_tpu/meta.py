@@ -224,6 +224,14 @@ def _build_device_column(
         vals = jnp.asarray(np.asarray(col.values(), dtype=np.int32)[:n])
         dev = dict(zm.build_i32(vals, nulls, **kw))
         rep = "i32"
+    elif dt is DataType.Bool:
+        # 0/1 int32 on device: zonemap min/max prune all-False / all-True
+        # chunks for eq/neq literals
+        vals = jnp.asarray(
+            np.asarray(col.values(), dtype=np.bool_)[:n].astype(np.int32)
+        )
+        dev = dict(zm.build_i32(vals, nulls, **kw))
+        rep = "i32"
     elif dt is DataType.Float32:
         vals = jnp.asarray(np.asarray(col.values(), dtype=np.float32)[:n])
         dev = dict(zm.build_f32(vals, nulls, **kw))
@@ -1142,6 +1150,9 @@ class MetaQueryPlan:
                 jnp.asarray(words),
                 jnp.asarray(masks),
             )
+        if dtype is DataType.Bool:
+            thr = np.int32(1 if leaf.rhs else 0)
+            return ("i32", leaf.column, leaf.cmp), (jnp.asarray(thr),)
         if dtype is DataType.Int32:
             thr = np.int64(leaf.rhs).astype(np.int32)  # wrapping, like `as i32`
             return ("i32", leaf.column, leaf.cmp), (jnp.asarray(thr),)
@@ -1474,6 +1485,8 @@ class PendingMetaQuery:
                         dst.push(int(v))
                     elif src.dtype in (DataType.Int32, DataType.Int64):
                         dst.push(int(v))
+                    elif src.dtype is DataType.Bool:
+                        dst.push(bool(v))
                     else:
                         dst.push(float(v))
             data[name] = dst

@@ -29,6 +29,10 @@ class DataType(enum.Enum):
     Float64 = "Float64"
     String = "String"
     DateTime = "DateTime"
+    # beyond the reference (its "More Metadata Types" roadmap item):
+    # stored as a bool array + null mask; device repr int32 0/1, so zonemap
+    # min/max pruning works (all-False chunk prunes eq(True) etc.)
+    Bool = "Bool"
 
     def __repr__(self) -> str:  # match Rust Debug formatting used in messages
         return self.value
@@ -60,6 +64,7 @@ _NUMPY_DTYPES = {
     DataType.Float64: np.float64,
     DataType.String: object,
     DataType.DateTime: np.int64,
+    DataType.Bool: np.bool_,
 }
 
 _SENTINELS = {
@@ -69,6 +74,7 @@ _SENTINELS = {
     DataType.Float64: np.float64("nan"),
     DataType.String: "",
     DataType.DateTime: np.int64(np.iinfo(np.int64).min),
+    DataType.Bool: np.False_,
 }
 
 
