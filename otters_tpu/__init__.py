@@ -40,7 +40,7 @@ from .types import Cmp, CmpOp, DataType, Metric, SearchResult, TakeType
 from .vec import VecQueryPlan, VecStore
 
 # submodules with additional surface (importable as otters_tpu.<name>)
-from . import adapters, aot, evaluate, io, parallel, utils  # noqa: E402,F401
+from . import adapters, aot, datasets, evaluate, io, parallel, utils  # noqa: E402,F401
 
 __version__ = "0.2.0"
 
