@@ -374,7 +374,10 @@ def _compile_cmp_leaf(
 
     if dtype is DataType.Bool:
         if literal.kind != "bool":
-            raise TypeMismatch(name, dtype, "bool")
+            got = {"i64": "integer", "f64": "float", "str": "string"}.get(
+                literal.kind, literal.kind
+            )
+            raise TypeMismatch(name, dtype, got)
         if op not in (CmpOp.Eq, CmpOp.Neq):
             raise InvalidComparison()
         return ColumnFilter("numeric", name, op, bool(literal.value), "bool")

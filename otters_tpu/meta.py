@@ -44,6 +44,8 @@ from .expr import ColumnFilter, CompiledFilter, Expr
 from .ops import bloom as bloom_ops
 from .ops import hashing, predicate, scoring, wide64
 from .types import (
+    NEGATED_CMP,
+    NEGATED_STRING_OPS,
     STRING_EXTENDED_OPS,
     VPU_METRICS,
     Cmp,
@@ -225,8 +227,9 @@ def _build_device_column(
         dev = dict(zm.build_i32(vals, nulls, **kw))
         rep = "i32"
     elif dt is DataType.Bool:
-        # 0/1 int32 on device: zonemap min/max prune all-False / all-True
-        # chunks for eq/neq literals
+        # 0/1 int32 on device: zonemap min/max prune chunks for Eq literals
+        # (an all-False chunk skips eq(True)); Neq keeps every non-empty
+        # chunk, matching the reference rule (type_utils.rs:446-584)
         vals = jnp.asarray(
             np.asarray(col.values(), dtype=np.bool_)[:n].astype(np.int32)
         )
@@ -442,6 +445,8 @@ class MetaStoreBuilder:
         them — where ``with_sort_by`` only helps its one column. Result
         indices still refer to the ORIGINAL ingestion order. Mutually
         exclusive with ``with_sort_by``; 1-8 columns."""
+        if isinstance(columns, str):
+            columns = [columns]  # a lone name, not its characters
         names = [str(c) for c in columns]
         if not 1 <= len(names) <= 8:
             raise OttersError("with_z_order takes between 1 and 8 columns")
@@ -877,19 +882,12 @@ class MetaStore:
         cached = self._hostmask_cache.get(key)
         if cached is not None:
             return cached
-        from .types import NEGATED_CMP
-
         colo = self.columns()[leaf.column]
         n = self._n_rows
         nulls = np.asarray(colo.null_mask(), dtype=bool)[:n]
         vals = colo.values()
         rhs = leaf.rhs
-        negated = leaf.cmp in (
-            CmpOp.NotContains,
-            CmpOp.NotStartsWith,
-            CmpOp.NotEndsWith,
-            CmpOp.NotFuzzy,
-        )
+        negated = leaf.cmp in NEGATED_STRING_OPS
         base_cmp = NEGATED_CMP[leaf.cmp] if negated else leaf.cmp
         if base_cmp is CmpOp.Contains:
             pred = lambda v: rhs in v  # noqa: E731
@@ -1525,14 +1523,7 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
 
 
 def _str_cmp(v: str, rhs, cmp: CmpOp) -> bool:
-    if cmp in (
-        CmpOp.NotContains,
-        CmpOp.NotStartsWith,
-        CmpOp.NotEndsWith,
-        CmpOp.NotFuzzy,
-    ):
-        from .types import NEGATED_CMP
-
+    if cmp in NEGATED_STRING_OPS:
         return not _str_cmp(v, rhs, NEGATED_CMP[cmp])
     if cmp is CmpOp.Eq:
         return v == rhs

@@ -146,6 +146,13 @@ STRING_EXTENDED_OPS = (
 
 NULL_OPS = (CmpOp.IsNull, CmpOp.IsNotNull)
 
+NEGATED_STRING_OPS = (
+    CmpOp.NotContains,
+    CmpOp.NotStartsWith,
+    CmpOp.NotEndsWith,
+    CmpOp.NotFuzzy,
+)
+
 # total involution: the comparator of `~leaf` under nulls-excluded semantics
 # (matches the reference's convention that value predicates never select
 # nulls, meta_compute.rs:194-232 — so ~eq(v) == neq(v), SQL-style)
