@@ -20,7 +20,24 @@ DTYPES = [
     DataType.Float64,
     DataType.String,
     DataType.DateTime,
+    DataType.Bool,
 ]
+
+
+def _lev(a: str, b: str) -> int:
+    """Independent Levenshtein for the fuzzy oracle (full DP, no banding)."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[lb]
 
 
 def _random_column(name: str, dt: DataType, n: int, rng) -> tuple:
@@ -37,6 +54,8 @@ def _random_column(name: str, dt: DataType, n: int, rng) -> tuple:
         vals = rng.normal(0, 10, n)
     elif dt is DataType.String:
         vals = rng.choice([f"s{i}" for i in range(8)], n)
+    elif dt is DataType.Bool:
+        vals = rng.uniform(size=n) < 0.5
     else:  # DateTime: days in 2024
         vals = rng.integers(0, 300, n)
     raw = []
@@ -45,6 +64,8 @@ def _random_column(name: str, dt: DataType, n: int, rng) -> tuple:
             raw.append(None)
         elif dt is DataType.String:
             raw.append(str(vals[i]))
+        elif dt is DataType.Bool:
+            raw.append(bool(vals[i]))
         elif dt is DataType.DateTime:
             raw.append(1704067200000 + int(vals[i]) * 86400_000)  # 2024-01-01 + d
         elif dt in (DataType.Float32, DataType.Float64):
@@ -57,33 +78,99 @@ def _random_column(name: str, dt: DataType, n: int, rng) -> tuple:
 def _random_leaf(name: str, dt: DataType, raw, rng) -> Expr:
     c = col(name)
     non_null = [v for v in raw if v is not None]
-    if dt is DataType.String:
-        target = rng.choice(non_null) if non_null else "s0"
-        return c.eq(str(target)) if rng.random() < 0.5 else c.neq(str(target))
-    op = rng.choice(["eq", "neq", "lt", "lte", "gt", "gte"])
-    if dt is DataType.DateTime:
-        ms = int(rng.choice(non_null)) if non_null else 1704067200000
-        import datetime
+    leaf = None
+    if rng.random() < 0.12:
+        leaf = c.is_null() if rng.random() < 0.5 else c.is_not_null()
+    elif dt is DataType.Bool:
+        target = bool(rng.random() < 0.5)
+        leaf = c.eq(target) if rng.random() < 0.5 else c.neq(target)
+    elif dt is DataType.String:
+        target = str(rng.choice(non_null)) if non_null else "s0"
+        choice = rng.random()
+        if choice < 0.3:
+            leaf = c.eq(target)
+        elif choice < 0.5:
+            leaf = c.neq(target)
+        elif choice < 0.65:
+            leaf = c.contains(target[: max(1, len(target) - 1)])
+        elif choice < 0.75:
+            leaf = c.starts_with(target[:1])
+        elif choice < 0.85:
+            leaf = c.ends_with(target[-1:])
+        else:
+            leaf = c.fuzzy(target, int(rng.integers(0, 3)))
+    else:
+        op = rng.choice(["eq", "neq", "lt", "lte", "gt", "gte"])
+        if dt is DataType.DateTime:
+            ms = int(rng.choice(non_null)) if non_null else 1704067200000
+            import datetime
 
-        s = datetime.datetime.fromtimestamp(
-            ms / 1000, tz=datetime.timezone.utc
-        ).strftime("%Y-%m-%dT%H:%M:%SZ")
-        return getattr(c, op)(s)
-    if dt in (DataType.Int32, DataType.Int64):
-        v = int(rng.choice(non_null)) if non_null else 0
-        return getattr(c, op)(v)
-    v = float(rng.choice(non_null)) if non_null else 0.0
-    return getattr(c, op)(v)
+            s = datetime.datetime.fromtimestamp(
+                ms / 1000, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            leaf = getattr(c, op)(s)
+        elif dt in (DataType.Int32, DataType.Int64):
+            choice = rng.random()
+            if choice < 0.12 and len(non_null) >= 2:
+                vals = [int(v) for v in rng.choice(non_null, size=3)]
+                leaf = c.isin(vals)
+            elif choice < 0.24 and len(non_null) >= 2:
+                lo, hi = sorted(
+                    (int(rng.choice(non_null)), int(rng.choice(non_null)))
+                )
+                leaf = c.between(lo, hi)
+            else:
+                v = int(rng.choice(non_null)) if non_null else 0
+                leaf = getattr(c, op)(v)
+        else:
+            v = float(rng.choice(non_null)) if non_null else 0.0
+            leaf = getattr(c, op)(v)
+    # random negation exercises the De Morgan push-down on every leaf kind
+    if rng.random() < 0.25:
+        leaf = ~leaf
+    return leaf
+
+
+def _oracle_str(v: str, leaf_cmp: CmpOp, rhs) -> bool:
+    if leaf_cmp is CmpOp.Eq:
+        return v == rhs
+    if leaf_cmp is CmpOp.Neq:
+        return v != rhs
+    if leaf_cmp is CmpOp.Contains:
+        return rhs in v
+    if leaf_cmp is CmpOp.StartsWith:
+        return v.startswith(rhs)
+    if leaf_cmp is CmpOp.EndsWith:
+        return v.endswith(rhs)
+    if leaf_cmp is CmpOp.Fuzzy:
+        pattern, max_dist = rhs
+        return _lev(v, pattern) <= max_dist
+    if leaf_cmp is CmpOp.NotContains:
+        return rhs not in v
+    if leaf_cmp is CmpOp.NotStartsWith:
+        return not v.startswith(rhs)
+    if leaf_cmp is CmpOp.NotEndsWith:
+        return not v.endswith(rhs)
+    if leaf_cmp is CmpOp.NotFuzzy:
+        pattern, max_dist = rhs
+        return _lev(v, pattern) > max_dist
+    raise AssertionError(leaf_cmp)
 
 
 def _oracle_leaf_mask(dt: DataType, raw, leaf_cmp: CmpOp, rhs) -> np.ndarray:
     n = len(raw)
     out = np.zeros(n, dtype=bool)
     for i, v in enumerate(raw):
+        if leaf_cmp is CmpOp.IsNull:
+            out[i] = v is None
+            continue
+        if leaf_cmp is CmpOp.IsNotNull:
+            out[i] = v is not None
+            continue
         if v is None:
             continue
         if dt is DataType.String:
-            out[i] = (v == rhs) if leaf_cmp is CmpOp.Eq else (v != rhs)
+            out[i] = _oracle_str(v, leaf_cmp, rhs)
         else:
             out[i] = {
                 CmpOp.Eq: v == rhs,
