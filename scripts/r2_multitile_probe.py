@@ -1,0 +1,140 @@
+"""Experiment: G survivor tiles per grid step in the fused kernel.
+
+At 10M x 768 x 256q the grid runs ~9.8k steps of ~0.7us fixed cost each
+(~6.6 ms/batch = 40% of the measured 16.6 ms). Packing G=2/4 survivor tiles
+into one step amortizes that cost G-fold while keeping chunk-granular
+skipping (each sub-tile has its own survivor index). This probes a stripped
+phase-1 (bins only, no phase 2) at G in {1, 2, 4} with the bench's
+alternating 50% alive pattern.
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+N = 10_000_000
+D = 768
+B = 256
+T = 1024
+BIN = 512
+NB = T // BIN
+
+
+def kernel(surv_ref, ns_ref, q_ref, *rest, G):
+    v_refs = rest[:G]
+    out_ref = rest[G]
+    g = pl.program_id(0)
+    q = q_ref[:]
+    dn = (((1,), (1,)), ((), ()))
+    for i in range(G):
+        sub = g * G + i
+
+        @pl.when(sub < ns_ref[0])
+        def _(i=i, sub=sub):
+            dots = jax.lax.dot_general(
+                q, v_refs[i][:], dn, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+            for j in range(NB):
+                out_ref[0, i * NB + j, :] = jnp.max(
+                    dots[:, j * BIN : (j + 1) * BIN], axis=1
+                )
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    from otters_tpu.ops import scoring
+
+    def _rows(start, rows):
+        base = jax.random.PRNGKey(42)
+        idx = jnp.uint32(start) + jnp.arange(rows, dtype=jnp.uint32)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(idx)
+        return jax.vmap(lambda k: jax.random.normal(k, (D,), jnp.float32))(keys)
+
+    rows_jit = jax.jit(_rows, static_argnums=(1,))
+    t0 = time.perf_counter()
+    dv = scoring.materialize_int8_slabs(rows_jit, N, D, 1_000_000)
+    jax.block_until_ready(dv)
+    log(f"ingest: {time.perf_counter()-t0:.1f}s")
+    n_pad = dv.vectors.shape[0]
+    n_tiles = n_pad // T
+
+    rng = np.random.default_rng(1)
+    alive_np = np.zeros(n_tiles, dtype=bool)
+    alive_np[1::2] = True  # alternating chunks, chunk == T
+    n_surv = int(alive_np.sum())
+    surv_np = np.flatnonzero(alive_np).astype(np.int32)
+
+    q8 = jnp.asarray(
+        np.clip(rng.normal(0, 40, (B, D)), -127, 127).astype(np.int8)
+    )
+
+    for G in (1, 2, 4, 8):
+        n_groups = -(-n_tiles // G)
+        surv_pad = np.full(n_groups * G, surv_np[-1], np.int32)
+        surv_pad[:n_surv] = surv_np
+        surv = jnp.asarray(surv_pad)
+        ns = jnp.asarray([n_surv], jnp.int32)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_groups,),
+            in_specs=[pl.BlockSpec((B, D), lambda g, s, n: (0, 0))]
+            + [
+                pl.BlockSpec(
+                    (T, D),
+                    partial(lambda g, s, n, i=0: (s[g * G + i], 0), i=i),
+                )
+                for i in range(G)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, G * NB, B),
+                lambda g, s, n: (jnp.minimum(g, (n[0] - 1) // G), 0, 0),
+            ),
+        )
+        f = pl.pallas_call(
+            partial(kernel, G=G),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_groups, G * NB, B), jnp.float32),
+        )
+
+        @jax.jit
+        def run(surv, ns, q, v):
+            return f(surv, ns, q, v, *([v] * (G - 1))).max()
+
+        # the axon tunnel's block_until_ready does not actually sync;
+        # only a value fetch does. Time single sync calls w/ fresh queries.
+        t0 = time.perf_counter()
+        float(np.asarray(run(surv, ns, q8, dv.vectors)))
+        log(f"G={G}: compile+run {time.perf_counter()-t0:.1f}s")
+        best = None
+        for _ in range(4):
+            qq = jnp.asarray(
+                np.clip(rng.normal(0, 40, (B, D)), -127, 127).astype(np.int8)
+            )
+            jax.block_until_ready(qq)
+            t0 = time.perf_counter()
+            float(np.asarray(run(surv, ns, qq, dv.vectors)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        log(f"G={G}: {best*1e3:.2f} ms/call sync (incl. tunnel RTT)")
+    log("DONE multitile probe")
+
+
+if __name__ == "__main__":
+    main()
