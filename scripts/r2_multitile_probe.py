@@ -1,11 +1,11 @@
 """Experiment: G survivor tiles per grid step in the fused kernel.
 
-At 10M x 768 x 256q the grid runs ~9.8k steps of ~0.7us fixed cost each
-(~6.6 ms/batch = 40% of the measured 16.6 ms). Packing G=2/4 survivor tiles
-into one step amortizes that cost G-fold while keeping chunk-granular
-skipping (each sub-tile has its own survivor index). This probes a stripped
-phase-1 (bins only, no phase 2) at G in {1, 2, 4} with the bench's
-alternating 50% alive pattern.
+RESULT: no win — G=1..8 time identically (~35.5 ms sync incl. ~31 ms
+tunnel RTT); the per-step fixed cost hypothesis was wrong. Amortized
+decomposition (dependent fori_loop, one fetch) showed phase 1 already at
+the MXU rate and phase 2 (winner-bin row-gather + rescore) as the real
+overhead — fixed in production by the contiguous dynamic-slice scan
+(pallas_topk.py phase 2), 15.33 -> 13.36 ms/batch at 10M/50%/k=100.
 """
 
 import sys
