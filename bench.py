@@ -24,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -381,7 +382,7 @@ def cpu_proxy_qps():
     return qps, cores
 
 
-def main() -> None:
+def main() -> dict:
     _configure_jax()
     import gc
     import traceback
@@ -397,6 +398,8 @@ def main() -> None:
 
     store = None
     try:
+        if os.environ.get("OTTERS_BENCH_FORCE_FAIL"):  # retry-path test hook
+            raise RuntimeError("forced failure (OTTERS_BENCH_FORCE_FAIL)")
         store, build_s = build_10m()
         qps10, warm, rec = run_10m(store)
     except Exception:  # insurance: always emit a JSON line for the driver
@@ -423,14 +426,13 @@ def main() -> None:
         log("cpu proxy failed:\n" + traceback.format_exc())
         cpu_qps, cores = None, 1
     if qps10 is None and qps1 is None and qps4 is None:
-        print(json.dumps({
+        return {
             "metric": "filtered_cosine_exact_top10_qps",
             "value": 0.0,
             "unit": "qps",
             "vs_baseline": 0.0,
             "extras": {"error": "all sections failed; see stderr"},
-        }))
-        return
+        }
     if qps10 is None:
         # degraded headline: the largest f32 config that ran
         dq, dn, dl = (qps1, N1, "1M") if qps1 is not None else (qps4, N4, "4M")
@@ -446,8 +448,7 @@ def main() -> None:
             "vs_baseline": vs,
             "extras": {"degraded": "10M section failed; see stderr"},
         }
-        print(json.dumps(result))
-        return
+        return result
 
     # conservative baseline: extrapolate the measured per-core proxy to a
     # 32-core reference box
@@ -472,8 +473,31 @@ def main() -> None:
             "baseline_assumed_cores": ref_cores,
         },
     }
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
-    main()
+    import subprocess
+
+    result = main()
+    extras = result.get("extras", {})
+    unhealthy = "error" in extras or "degraded" in extras
+    if unhealthy and not os.environ.get("OTTERS_BENCH_RETRY"):
+        # transient tunnel errors (contention with a stale process, stale
+        # device state after a crashed run) clear once the process exits;
+        # retry ONCE in a fresh interpreter before recording a degraded run
+        log("unhealthy result; retrying once in a fresh process")
+        env = dict(os.environ, OTTERS_BENCH_RETRY="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+        )
+        lines = [
+            ln for ln in proc.stdout.decode().strip().splitlines() if ln
+        ]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            sys.exit(0)
+        log("retry failed too; emitting the original result")
+    print(json.dumps(result))
