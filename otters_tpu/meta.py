@@ -348,7 +348,8 @@ def _jit_meta_program():
             from .ops import pallas_topk as pk
 
             t_rows = pk.choose_tile(
-                dv.vectors.shape[1], n_pad, pk._pad_b(queries.shape[0])
+                dv.vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]),
+                chunk=chunk_size,
             )
             if plan_static:
                 alive = pk.tiles_alive_from_chunk_mask(

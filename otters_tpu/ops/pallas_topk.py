@@ -60,7 +60,7 @@ def _pad_b(b: int) -> int:
     return _round_up(max(b, 1), SUBLANE)
 
 
-def choose_tile(d: int, n_pad: int = 0, b_pad: int = LANE) -> int:
+def choose_tile(d: int, n_pad: int = 0, b_pad: int = LANE, chunk: int = 0) -> int:
     """Row-tile size under the 16 MB VMEM budget.
 
     Bounds BOTH the double-buffered [T, D] vector tile (f32 in-kernel
@@ -69,12 +69,23 @@ def choose_tile(d: int, n_pad: int = 0, b_pad: int = LANE) -> int:
     otherwise pick huge T and blow scoped VMEM through the score buffers.
     Narrow batches get a bigger vector-tile budget: their score buffers are
     tiny, and fewer grid steps cut the fixed per-step cost that dominates
-    single-query latency. Must divide n_pad."""
+    single-query latency. Must divide n_pad.
+
+    When the caller prunes at ``chunk``-row granularity, the tile aligns
+    DOWN to a chunk multiple whenever that is representable (chunk divides
+    into BIN-multiples and n_pad) — otherwise a tile straddling two chunks
+    stays alive if EITHER survives, and e.g. alternating 1024-row chunks
+    under 1536-row tiles would disable skipping entirely (observed at b=1
+    on the 10M store)."""
     vd_budget = (3 * (1 << 20)) if b_pad > 32 else (5 * (1 << 20))
     t_by_vd = vd_budget // (4 * d)
     t_by_bt = (6 * (1 << 20)) // (4 * 3 * max(b_pad, SUBLANE))
     t = min(t_by_vd, t_by_bt)
     t = max(BIN, (t // BIN) * BIN)
+    if chunk and chunk % BIN == 0 and t > chunk:
+        aligned = (t // chunk) * chunk
+        if not n_pad or n_pad % aligned == 0:
+            t = aligned
     if n_pad:
         while t > BIN and n_pad % t != 0:
             t -= BIN
@@ -249,16 +260,18 @@ def _pallas_topk_jit(
         queries = q_int8.astype(jnp.float32)  # for norms / qaux only
     b_pad = _pad_b(b)
     bo = _round_up(b_pad, LANE)  # output block lane width
-    t = choose_tile(d, n_pad, b_pad)
-    assert n_pad % t == 0, (n_pad, t)
-    n_tiles = n_pad // t
-    nb = t // BIN
-    if tile_alive.shape[0] != n_tiles:
+    # the tile size is defined by the caller through tile_alive's length
+    # (choose_tile picks it, possibly chunk-aligned); the kernel just
+    # honors it — smaller-than-budget tiles are always VMEM-safe
+    n_tiles = tile_alive.shape[0]
+    if n_tiles <= 0 or n_pad % n_tiles != 0 or (n_pad // n_tiles) % BIN != 0:
         raise ValueError(
-            f"tile_alive has {tile_alive.shape[0]} tiles but this shape "
-            f"(n_pad={n_pad}, b={b}) uses {n_tiles} tiles of {t} rows — "
-            f"compute the tile size with choose_tile(d, n_pad, _pad_b(b))"
+            f"tile_alive has {n_tiles} tiles for n_pad={n_pad}; the implied "
+            f"tile size must be a positive multiple of {BIN} that divides "
+            f"n_pad — compute it with choose_tile(d, n_pad, _pad_b(b))"
         )
+    t = n_pad // n_tiles
+    nb = t // BIN
 
     q_sq, q_inv = _query_norms(queries)
     if fast:

@@ -107,7 +107,8 @@ def _jit_sharded_program():
                 from ..ops import pallas_topk as pk
 
                 t_rows = pk.choose_tile(
-                    dv_l.vectors.shape[1], n_local, pk._pad_b(b_local)
+                    dv_l.vectors.shape[1], n_local, pk._pad_b(b_local),
+                    chunk=chunk_size,
                 )
                 if plan_static:
                     alive = pk.tiles_alive_from_chunk_mask(

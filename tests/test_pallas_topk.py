@@ -321,3 +321,57 @@ def test_fast_exact_euclid_ties_fail_safe():
         interpret=True, fast=True,
     )
     assert not bool(np.asarray(check))
+
+
+def test_choose_tile_chunk_alignment():
+    """Tiles align DOWN to a chunk multiple when representable, so chunk-
+    granular pruning keeps working at narrow batch sizes (misaligned
+    1536-row tiles under alternating 1024-row chunks skip nothing:
+    measured 12.05 -> 7.65 ms for b=1 filtered at 10M x 768 on v5e)."""
+    from otters_tpu.ops import pallas_topk as pk
+
+    n_pad = 10_002_432  # the 10M store's padded row count
+    # b=1 at d=768 used to pick 1536; with chunk=1024 it must align to 1024
+    assert pk.choose_tile(768, n_pad, pk._pad_b(1)) == 1536
+    assert pk.choose_tile(768, n_pad, pk._pad_b(1), chunk=1024) == 1024
+    # chunk already divides the tile: unchanged
+    assert pk.choose_tile(768, n_pad, pk._pad_b(1), chunk=512) == 1536
+    # chunk larger than the tile: tiles nest inside chunks, skipping works
+    assert pk.choose_tile(768, n_pad, pk._pad_b(1), chunk=2048) == 1536
+    # chunk not a BIN multiple: alignment impossible, keep the plain tile
+    assert pk.choose_tile(768, n_pad, pk._pad_b(1), chunk=1000) == 1536
+    # b=256 at d=768 already picks the chunk size
+    assert pk.choose_tile(768, n_pad, pk._pad_b(256), chunk=1024) == 1024
+
+
+def test_pallas_topk_honors_caller_tile(rng=None):
+    """The kernel derives the tile size from tile_alive's length (the
+    caller's chunk-aligned choice), not from recomputing choose_tile."""
+    import numpy as np
+
+    from otters_tpu.ops import pallas_topk as pk, scoring
+    from otters_tpu.types import Cmp, Metric
+
+    rng = np.random.default_rng(0)
+    n, d, b, k = 4096, 32, 4, 7
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    dv = scoring.materialize(vecs)
+    n_pad = dv.vectors.shape[0]
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    rmask = jnp.ones(n_pad, dtype=jnp.bool_)
+    ref = None
+    for t in (512, 1024):
+        if n_pad % t:
+            continue
+        alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
+        rows, scores, ok, _ = pk.pallas_topk(
+            dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rmask,
+            jnp.float32(-2.0), alive, metric=Metric.Cosine, k=k,
+            take_min=False, cmp=Cmp.Gt, interpret=True,
+        )
+        got = sorted(int(r) for r, o in zip(rows, ok) if o)
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+    assert ref  # at least one tile size ran
