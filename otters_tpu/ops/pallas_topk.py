@@ -411,23 +411,19 @@ def _pallas_topk_jit(
     qsel_c = jnp.minimum(qsel, b_pad - 1)
     tile_sel = surv[gsel]  # slot -> actual tile index
 
-    rows = (
-        tile_sel[:, None] * t
-        + jsel[:, None] * BIN
-        + jnp.arange(BIN, dtype=jnp.int32)[None, :]
-    )  # [kb, BIN]
-    rows_flat = rows.reshape(-1)
-    q_cand = q_pad[qsel_c]  # [kb, d]
     # Every winner bin is a CONTIGUOUS, BIN-aligned run of rows. A plain
-    # vectors[rows_flat] gather makes XLA lower a per-row gather (~2.7 ms
-    # for 100 bins of 512x768 int8 at 10M rows on v5e); a scan of
+    # vectors[rows] gather makes XLA lower a per-row gather (~2.7 ms for
+    # 100 bins of 512x768 int8 at 10M rows on v5e); a scan of
     # dynamic_slices keeps each bin's DMA contiguous (~1.8 ms measured) and
     # picks up the per-row aux arrays (inv-norms, norms, validity, row
     # mask) in the same pass, avoiding four more 51k-element gathers.
     # Per-bin numerics are identical to the previous batched formulation:
     # each batch element was an independent dot product already.
     starts = tile_sel * t + jsel * BIN  # [kb]
-    rm_src = row_mask if row_mask is not None else valid
+    rows_flat = (
+        starts[:, None] + jnp.arange(BIN, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    q_cand = q_pad[qsel_c]  # [kb, d]
 
     def _bin_slices(carry, sq):
         s, qr = sq
@@ -448,17 +444,18 @@ def _pallas_topk_jit(
                 preferred_element_type=jnp.float32,
                 precision=_precision(prec),
             )[0]
-        return carry, (
+        out = (
             dd,
             jax.lax.dynamic_slice(inv_norms, (s,), (BIN,)),
             jax.lax.dynamic_slice(norms_sq, (s,), (BIN,)),
             jax.lax.dynamic_slice(valid, (s,), (BIN,)),
-            jax.lax.dynamic_slice(rm_src, (s,), (BIN,)),
         )
+        if row_mask is not None:
+            out = out + (jax.lax.dynamic_slice(row_mask, (s,), (BIN,)),)
+        return carry, out
 
-    _, (dots, inv_rows, nsq_rows, ok_rows, rm_rows) = jax.lax.scan(
-        _bin_slices, 0, (starts, q_cand)
-    )
+    _, sliced = jax.lax.scan(_bin_slices, 0, (starts, q_cand))
+    dots, inv_rows, nsq_rows, ok = sliced[:4]
     if metric is Metric.Cosine:
         scores = dots * q_inv_pad(q_inv, b_pad)[qsel_c][:, None] * inv_rows
     elif metric is Metric.Euclidean:
@@ -466,9 +463,8 @@ def _pallas_topk_jit(
     else:
         scores = dots
 
-    ok = ok_rows
     if row_mask is not None:
-        ok = ok & rm_rows
+        ok = ok & sliced[4]
     # slots from dead grid steps alias the last alive tile through surv;
     # without this guard they could re-contribute (duplicate) its rows
     ok = ok & (gsel < n_surv)[:, None]
