@@ -235,6 +235,43 @@ def run_10m(store):
             f"{dt:.3f}s -> {qps:.1f} q/s")
         best = max(best, qps)
 
+    # wide-batch scaling: B=512 amortizes phase-2/top-k overhead across
+    # twice the queries (choose_tile's combined VMEM bound admits it with
+    # 512-row tiles). Reported in extras; the headline stays the BASELINE
+    # config's 256-query batches.
+    qps512 = None
+    try:
+        b512 = [
+            jnp.asarray(rng.normal(size=(2 * B, D)).astype(np.float32))
+            for _ in range(8)
+        ]
+        jax.block_until_ready(b512)
+        bi512 = [0]
+
+        def dispatch512():
+            q = b512[bi512[0] % len(b512)]
+            bi512[0] += 1
+            return (
+                store.query_batch(q, Metric.Cosine)
+                .meta_filter(expr)
+                .take(K_WIDE)
+                .collect_async()
+            )
+
+        dispatch512().result()  # compile
+        for _ in range(3):
+            t0 = time.perf_counter()
+            results = resolve([dispatch512() for _ in range(8)])
+            dt = time.perf_counter() - t0
+            q512 = 2 * B * 8 / dt
+            assert all(len(x) == K_WIDE for x in results)
+            qps512 = max(qps512 or 0.0, q512)
+        log(f"10M wide-batch B={2 * B}: {qps512:.1f} q/s")
+    except Exception:
+        import traceback as _tb
+
+        log("B=512 section failed (non-fatal):\n" + _tb.format_exc())
+
     # exact re-rank cost + recall@10 vs f32 ground truth (sampled queries);
     # candidates are batch-regenerated in one vmap (counter-based RNG)
     def fetch_vectors_batch(ids):
@@ -271,7 +308,7 @@ def run_10m(store):
     rec = recall_at_k(want_rows, got_rows)
     log(f"10M recall@10 after exact re-rank: {rec:.3f} "
         f"(re-rank {rerank_dt * 1e3:.1f}ms per batch)")
-    return best, warm, rec
+    return best, warm, rec, qps512
 
 
 # ---- f32 configs -------------------------------------------------------------
@@ -401,10 +438,10 @@ def main() -> dict:
         if os.environ.get("OTTERS_BENCH_FORCE_FAIL"):  # retry-path test hook
             raise RuntimeError("forced failure (OTTERS_BENCH_FORCE_FAIL)")
         store, build_s = build_10m()
-        qps10, warm, rec = run_10m(store)
+        qps10, warm, rec, qps512 = run_10m(store)
     except Exception:  # insurance: always emit a JSON line for the driver
         log("10M section failed:\n" + traceback.format_exc())
-        qps10 = warm = rec = build_s = None
+        qps10 = warm = rec = build_s = qps512 = None
     finally:
         store = None  # release the 7.7 GB store even on failure
     drain()
@@ -465,6 +502,7 @@ def main() -> dict:
             "recall_at_10_after_rerank": round(rec, 4),
             "build_10m_s": round(build_s, 1),
             "warmup_first_query_s": round(warm, 2),
+            "qps_10Mx768_B512": None if qps512 is None else round(qps512, 1),
             "qps_4Mx768_f32_exact": None if qps4 is None else round(qps4, 1),
             "qps_1Mx768_f32_exact": None if qps1 is None else round(qps1, 1),
             "cpu_proxy_qps_measured": round(cpu_qps, 2),

@@ -81,6 +81,13 @@ def choose_tile(d: int, n_pad: int = 0, b_pad: int = LANE, chunk: int = 0) -> in
     t_by_vd = vd_budget // (4 * d)
     t_by_bt = (6 * (1 << 20)) // (4 * 3 * max(b_pad, SUBLANE))
     t = min(t_by_vd, t_by_bt)
+    # combined bound, same formula pallas_ok gates on: queries + double-
+    # buffered vector tile + ~3 score/key copies must fit scoped VMEM.
+    # For b_pad <= 256 this never binds (the per-term budgets are tighter);
+    # it is what admits WIDE batches (b=512 -> t=512) to the fused kernel.
+    denom = 4 * (2 * d + 3 * max(b_pad, SUBLANE))
+    t_by_sum = (13 * (1 << 20) - 4 * b_pad * d) // denom
+    t = min(t, max(t_by_sum, BIN))
     t = max(BIN, (t // BIN) * BIN)
     if chunk and chunk % BIN == 0 and t > chunk:
         aligned = (t // chunk) * chunk

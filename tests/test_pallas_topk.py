@@ -375,3 +375,19 @@ def test_pallas_topk_honors_caller_tile(rng=None):
         else:
             assert got == ref
     assert ref  # at least one tile size ran
+
+
+def test_choose_tile_admits_wide_batches():
+    """The combined VMEM bound shrinks the tile for wide batches instead of
+    leaving pallas_ok to reject them (B=512 -> T=512 fits; existing
+    narrow/medium choices are unchanged by the extra bound)."""
+    from otters_tpu.ops import pallas_topk as pk
+
+    n_pad = 10_002_432
+    t512 = pk.choose_tile(768, n_pad, pk._pad_b(512), chunk=1024)
+    assert t512 == 512
+    vmem = 512 * 768 * 4 + 2 * t512 * 768 * 4 + 3 * t512 * 512 * 4
+    assert vmem <= 13 * (1 << 20)
+    t1024 = pk.choose_tile(768, n_pad, pk._pad_b(1024), chunk=1024)
+    vmem = 1024 * 768 * 4 + 2 * t1024 * 768 * 4 + 3 * t1024 * 1024 * 4
+    assert vmem <= 13 * (1 << 20)
