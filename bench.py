@@ -121,9 +121,13 @@ def build_10m():
 
     t0 = time.perf_counter()
     dv8 = scoring.materialize_int8_slabs(row_vectors, N10, D, SLAB)
-    jax.block_until_ready(dv8)
+    # block_until_ready does NOT sync on tunneled backends; a value fetch
+    # does. Without it the slab synthesis (device-RNG generation of 10M
+    # rows, the DATASET creation — not index build) drains inside whatever
+    # fetches next and was mis-attributed to warm-up in earlier rounds.
+    float(np.asarray(dv8.norms_sq[12345]))
     ingest = time.perf_counter() - t0
-    log(f"10M int8 slab ingest: {ingest:.1f}s "
+    log(f"10M data synthesis + int8 quantization: {ingest:.1f}s "
         f"({dv8.vectors.nbytes / 1e9:.2f} GB HBM)")
 
     cols, _ = _columns(N10)
@@ -135,9 +139,16 @@ def build_10m():
         .build()
     )
     bs = store.build_stats()
+    # true-sync the zonemap arrays too, so build time is honest and the
+    # warm-up below measures only the first QUERY
+    import jax.numpy as _jq
+
+    float(_jq.asarray(store._chunk_lens[0]))
+    build_total = time.perf_counter() - t0
     log(f"10M build: zonemap={bs.zonemap_build_duration:.2f}s "
-        f"total={bs.build_total_duration:.2f}s chunks={bs.n_chunks}")
-    return store, ingest + bs.build_total_duration
+        f"drained_total={build_total:.2f}s chunks={bs.n_chunks} "
+        f"(data synthesis {ingest:.1f}s reported separately)")
+    return store, build_total, ingest
 
 
 GT_SLAB = 500_000  # smaller slabs: the 7.7 GB int8 store is still resident
@@ -327,6 +338,7 @@ def run_f32(n: int, label: str) -> float:
     # donated slab writes: peak HBM = store + one slab (concatenate would
     # briefly double a 12 GB store)
     dv = scoring.materialize_f32_slabs(row_vectors, n, D, GT_SLAB)
+    float(np.asarray(dv.norms_sq[123]))  # true sync (see build_10m)
     cols, _ = _columns(n)
     store = (
         MetaStore.from_columns(cols)
@@ -334,7 +346,8 @@ def run_f32(n: int, label: str) -> float:
         .with_chunk_size(CHUNK)
         .build()
     )
-    log(f"{label} f32 build: {time.perf_counter() - t0:.1f}s")
+    float(jnp.asarray(store._chunk_lens[0]))
+    log(f"{label} f32 synth+build (drained): {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(2)
     batches = [
@@ -437,11 +450,11 @@ def main() -> dict:
     try:
         if os.environ.get("OTTERS_BENCH_FORCE_FAIL"):  # retry-path test hook
             raise RuntimeError("forced failure (OTTERS_BENCH_FORCE_FAIL)")
-        store, build_s = build_10m()
+        store, build_s, synth_s = build_10m()
         qps10, warm, rec, qps512 = run_10m(store)
     except Exception:  # insurance: always emit a JSON line for the driver
         log("10M section failed:\n" + traceback.format_exc())
-        qps10 = warm = rec = build_s = qps512 = None
+        qps10 = warm = rec = build_s = qps512 = synth_s = None
     finally:
         store = None  # release the 7.7 GB store even on failure
     drain()
@@ -501,6 +514,7 @@ def main() -> dict:
         "extras": {
             "recall_at_10_after_rerank": round(rec, 4),
             "build_10m_s": round(build_s, 1),
+            "data_synthesis_10m_s": round(synth_s, 1),
             "warmup_first_query_s": round(warm, 2),
             "qps_10Mx768_B512": None if qps512 is None else round(qps512, 1),
             "qps_4Mx768_f32_exact": None if qps4 is None else round(qps4, 1),
