@@ -44,6 +44,11 @@ from .scoring import (
 BIN = 512
 LANE = 128
 SUBLANE = 8
+# Phase-2 strategy switch: up to this many candidate bins, a lax.scan of
+# contiguous dynamic-slices is fastest (measured ~1.8 ms at ~100 bins on
+# v5e); above it the serialized steps dominate and the batched-gather
+# formulation wins despite the per-row gather.
+PHASE2_SCAN_MAX_BINS = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -93,6 +98,16 @@ def choose_tile(d: int, n_pad: int = 0, b_pad: int = LANE, chunk: int = 0) -> in
         aligned = (t // chunk) * chunk
         if not n_pad or n_pad % aligned == 0:
             t = aligned
+        else:
+            # the budget-sized aligned tile does not divide n_pad; fall back
+            # to the LARGEST chunk multiple that does (chunk skipping beats a
+            # slightly bigger misaligned tile — a straddling tile stays alive
+            # if EITHER neighbor chunk survives)
+            cand = aligned - chunk
+            while cand >= chunk and n_pad % cand != 0:
+                cand -= chunk
+            if cand >= chunk:
+                t = cand
     if n_pad:
         while t > BIN and n_pad % t != 0:
             t -= BIN
@@ -278,6 +293,16 @@ def _pallas_topk_jit(
             f"n_pad — compute it with choose_tile(d, n_pad, _pad_b(b))"
         )
     t = n_pad // n_tiles
+    # validate the implied tile against the same VMEM bound pallas_ok gates
+    # on: a too-short tile_alive would otherwise surface as an opaque
+    # scoped-VMEM Mosaic error at compile time
+    vmem = b_pad * d * 4 + 2 * t * d * 4 + 3 * t * b_pad * 4
+    if vmem > 13 * (1 << 20):
+        raise ValueError(
+            f"implied tile {t} ({n_tiles} tiles over n_pad={n_pad}) needs "
+            f"~{vmem >> 20} MB of scoped VMEM (> 13 MB budget); compute the "
+            f"tile with choose_tile(d, n_pad, _pad_b(b))"
+        )
     nb = t // BIN
 
     q_sq, q_inv = _query_norms(queries)
@@ -432,6 +457,35 @@ def _pallas_topk_jit(
     ).reshape(-1)
     q_cand = q_pad[qsel_c]  # [kb, d]
 
+    def _bin_gather():
+        # batched-gather formulation for LARGE candidate-bin counts: the
+        # sequential dynamic-slice scan wins at ~100 bins (contiguous DMAs),
+        # but serializes kb steps — thousands of them at large k would
+        # dominate. One row gather + one batched MXU contraction instead.
+        blk = vectors[rows_flat].reshape(kb, BIN, d)
+        dn_b = (((1,), (2,)), ((0,), (0,)))
+        if int8_mode:
+            dd = jax.lax.dot_general(
+                q_cand, blk, dn_b, preferred_element_type=jnp.int32
+            ).astype(jnp.float32)
+        else:
+            dd = jax.lax.dot_general(
+                q_cand,
+                blk.astype(jnp.float32),
+                dimension_numbers=dn_b,
+                preferred_element_type=jnp.float32,
+                precision=_precision(prec),
+            )
+        out = (
+            dd,
+            inv_norms[rows_flat].reshape(kb, BIN),
+            norms_sq[rows_flat].reshape(kb, BIN),
+            valid[rows_flat].reshape(kb, BIN),
+        )
+        if row_mask is not None:
+            out = out + (row_mask[rows_flat].reshape(kb, BIN),)
+        return out
+
     def _bin_slices(carry, sq):
         s, qr = sq
         blk = jax.lax.dynamic_slice(vectors, (s, 0), (BIN, d))
@@ -461,7 +515,10 @@ def _pallas_topk_jit(
             out = out + (jax.lax.dynamic_slice(row_mask, (s,), (BIN,)),)
         return carry, out
 
-    _, sliced = jax.lax.scan(_bin_slices, 0, (starts, q_cand))
+    if kb > PHASE2_SCAN_MAX_BINS:
+        sliced = _bin_gather()
+    else:
+        _, sliced = jax.lax.scan(_bin_slices, 0, (starts, q_cand))
     dots, inv_rows, nsq_rows, ok = sliced[:4]
     if metric is Metric.Cosine:
         scores = dots * q_inv_pad(q_inv, b_pad)[qsel_c][:, None] * inv_rows

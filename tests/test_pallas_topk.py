@@ -391,3 +391,46 @@ def test_choose_tile_admits_wide_batches():
     t1024 = pk.choose_tile(768, n_pad, pk._pad_b(1024), chunk=1024)
     vmem = 1024 * 768 * 4 + 2 * t1024 * 768 * 4 + 3 * t1024 * 1024 * 4
     assert vmem <= 13 * (1 << 20)
+
+
+def test_pallas_large_k_gather_phase2(data):
+    """k > PHASE2_SCAN_MAX_BINS exercises the batched-gather phase-2 path."""
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    k = pk.PHASE2_SCAN_MAX_BINS + 44  # forces kb > the scan threshold
+    rows, scores, ok = _run_pallas(dv, queries, alive, k=k)
+    want = _oracle(vectors, queries, Metric.DotProduct, k, False)
+    assert ok.all()
+    np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-5)
+
+
+def test_choose_tile_chunk_alignment_fallback():
+    """Odd-multiple-of-512 n_pad with chunk=1024: the tile must still align
+    to a chunk multiple that divides n_pad (ADVICE r2)."""
+    d = 64
+    n_pad = 512 * 21  # 10752: not a multiple of the budget-aligned tile
+    t = pk.choose_tile(d, n_pad, pk.LANE, chunk=1024)
+    # n_pad has no divisor that is a multiple of 1024 except... 1024*? ->
+    # 10752 = 1024 * 10.5, so no chunk-aligned tile divides it; the fallback
+    # must still return a BIN multiple dividing n_pad
+    assert n_pad % t == 0 and t % pk.BIN == 0
+    n_pad2 = 1024 * 21  # chunk multiple: expect a chunk-aligned divisor
+    t2 = pk.choose_tile(d, n_pad2, pk.LANE, chunk=1024)
+    assert n_pad2 % t2 == 0 and t2 % 1024 == 0
+
+
+def test_pallas_rejects_vmem_blowing_tile(data):
+    """A too-short tile_alive (implied tile over the VMEM budget) raises a
+    clear ValueError instead of an opaque Mosaic error (ADVICE r2)."""
+    vectors, queries, dv = data
+    n_pad = dv.vectors.shape[0]
+    with pytest.raises(ValueError, match="VMEM"):
+        pk.pallas_topk(
+            dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+            jnp.asarray(queries), None, jnp.float32(0.0),
+            jnp.ones(1, dtype=bool),  # implied tile = n_pad (16384 rows)
+            metric=Metric.DotProduct, k=5, take_min=False, cmp=None,
+            interpret=True,
+        )
