@@ -396,6 +396,27 @@ def jnp_int32(x):
 _meta_query_program = _jit_meta_program()
 
 
+def _jit_mask_program():
+    import jax
+
+    @partial(jax.jit, static_argnames=("plan_static", "n_pad"))
+    def mask_program(cols, chunk_lens, plan_params, *, plan_static, n_pad):
+        """Standalone pruning program for the windowed take-all path: the
+        row mask stays on device (consumed window by window) and the stats
+        come back as two scalars."""
+        n_chunks = chunk_lens.shape[0]
+        cmask = predicate.chunk_mask(plan_static, plan_params, cols, n_chunks)
+        ev = cmask.sum(dtype=np.int32)
+        re_ = (chunk_lens * cmask).sum(dtype=np.int32)
+        rmask = predicate.row_mask(plan_static, plan_params, cols, n_pad)
+        return rmask, ev, re_
+
+    return mask_program
+
+
+_mask_program = _jit_mask_program()
+
+
 # ---------------------------------------------------------------------------
 # MetaStore + builder
 # ---------------------------------------------------------------------------
@@ -678,6 +699,10 @@ class MetaStoreBuilder:
 
 class MetaStore:
     """Device-resident vector+metadata store (reference meta.rs:49-577)."""
+
+    # the windowed take-all path streams per-window scores host-side; the
+    # sharded store runs its own SPMD program instead (meta_sharded.py)
+    _supports_windowed = True
 
     def __init__(self, schema):
         if isinstance(schema, dict):
@@ -1334,6 +1359,8 @@ class MetaQueryPlan:
         # ---- score phase: dispatch ONE fused device program ----
         score_start = time.perf_counter()
         raw = None
+        strict_redo = None
+        fetched = None
         if store.n_rows > 0 and k > 0 and b > 0:
             if queries.shape[1] != store._dim:
                 raise OttersError(
@@ -1341,26 +1368,38 @@ class MetaQueryPlan:
                     f"expected dimension {store._dim}"
                 )
             thr, cmp = (None, None) if self._vec_filter is None else self._vec_filter
-
-            def run(strict=False):
-                return store._run_query_program(
-                    cols_sub,
-                    queries,
-                    plan_params,
-                    0.0 if thr is None else thr,
-                    plan_static,
-                    self._metric,
-                    k,
-                    (take_type is TakeType.Min),
-                    None if thr is None else cmp,
-                    strict=strict,
+            n_pad = store._dv.vectors.shape[0]
+            k_eff = min(k, b * n_pad)
+            if store._supports_windowed and scoring.needs_windowed(
+                n_pad, b, k_eff
+            ):
+                # take-all regime (reference meta.rs:638-640): no device
+                # top-k buffer fits, stream score windows to the host
+                raw = fetched = self._collect_windowed(
+                    cols_sub, queries, plan_params, plan_static, k_eff,
+                    take_type, thr, cmp,
                 )
+            else:
 
-            raw = run()
-            strict_redo = partial(run, strict=True)
-        return PendingMetaQuery(
+                def run(strict=False):
+                    return store._run_query_program(
+                        cols_sub,
+                        queries,
+                        plan_params,
+                        0.0 if thr is None else thr,
+                        plan_static,
+                        self._metric,
+                        k,
+                        (take_type is TakeType.Min),
+                        None if thr is None else cmp,
+                        strict=strict,
+                    )
+
+                raw = run()
+                strict_redo = partial(run, strict=True)
+        p = PendingMetaQuery(
             plan=self,
-            raw=raw if store.n_rows > 0 and k > 0 and b > 0 else None,
+            raw=raw,
             queries=queries,
             k=k,
             take_type=take_type,
@@ -1368,10 +1407,46 @@ class MetaQueryPlan:
             total_start=total_start,
             prune_dur=prune_dur,
             score_start=score_start,
-            strict_redo=(
-                strict_redo if store.n_rows > 0 and k > 0 and b > 0 else None
-            ),
+            strict_redo=strict_redo,
         )
+        if fetched is not None:
+            p._fetched = fetched
+        return p
+
+    def _collect_windowed(
+        self, cols_sub, queries, plan_params, plan_static, k_eff, take_type,
+        thr, cmp,
+    ):
+        """Take-all execution: device pruning + windowed score streaming
+        (scoring.collect_all). Returns a host tuple in the program's raw
+        output layout (rows, scores, valid, check, evaluated, rows_eval)."""
+        import jax
+
+        store = self._store
+        dv = store._dv
+        n_pad = dv.vectors.shape[0]
+        if plan_static:
+            rmask, ev, re_ = _mask_program(
+                cols_sub, store._chunk_lens, plan_params,
+                plan_static=plan_static, n_pad=n_pad,
+            )
+            ev, re_ = jax.device_get((ev, re_))
+        else:
+            rmask = None
+            ev = np.int32(store.n_chunks())
+            re_ = np.int32(store.n_rows)
+        rows, scores, valid = scoring.collect_all(
+            dv,
+            queries,
+            self._metric,
+            k_eff,
+            take_min=(take_type is TakeType.Min),
+            cmp=cmp,
+            thr=thr,
+            row_mask=rmask,
+            prec=store.precision,
+        )
+        return rows, scores, valid, np.bool_(True), ev, re_
 
 
 class PendingMetaQuery:
@@ -1431,8 +1506,9 @@ class PendingMetaQuery:
                 )
             evaluated = int(ev)
             rows_eval = int(re_)
-            indices = [int(r) for r, ok in zip(rows, valid) if ok]
-            scores = [float(s) for s, ok in zip(scrs, valid) if ok]
+            ok_np = np.asarray(valid, dtype=bool)
+            indices = np.asarray(rows)[ok_np].astype(np.int64).tolist()
+            scores = np.asarray(scrs)[ok_np].tolist()
 
             # exactness guard: verify string-predicate hits host-side; on a
             # hash collision re-run with an exact host row mask (p ~ 2^-64)
@@ -1441,7 +1517,15 @@ class PendingMetaQuery:
                 for cl in plan._meta_filter.clauses
                 for lf in cl
             ):
-                if not all(plan._row_satisfies(i) for i in indices):
+                n_res = len(indices)
+                if n_res > 256 and n_res * 64 > store.n_rows:
+                    # take-all-sized results: one vectorized host pass beats
+                    # millions of per-row CNF evaluations
+                    em = plan._host_exact_row_mask(store._dv.vectors.shape[0])
+                    sat = bool(em[np.asarray(indices, dtype=np.int64)].all())
+                else:
+                    sat = all(plan._row_satisfies(i) for i in indices)
+                if not sat:
                     dv = store._dv
                     thr, cmp = (
                         (None, None)
@@ -1460,34 +1544,31 @@ class PendingMetaQuery:
                         row_mask=exact_mask,
                         prec=store.precision,
                     )
-                    indices = [int(r) for r, ok in zip(rows, valid) if ok]
-                    scores = [float(s) for s, ok in zip(scrs, valid) if ok]
+                    ok_np = np.asarray(valid, dtype=bool)
+                    indices = np.asarray(rows)[ok_np].astype(np.int64).tolist()
+                    scores = np.asarray(scrs)[ok_np].tolist()
         score_dur = time.perf_counter() - self._score_start
 
         # ---- merge phase: result-column materialization (host) ----
+        # Vectorized gather of the raw backing stores (sentinels included):
+        # raw values + null mask are exactly what push(None)/push(value)
+        # would have produced row by row, at numpy speed — take-all results
+        # with millions of rows materialize in milliseconds, not minutes.
         merge_start = time.perf_counter()
         col_names = sorted(store.schema().keys())
         data: Dict[str, Column] = {}
+        idx = np.asarray(indices, dtype=np.int64)
         for name in col_names:
             src = store.columns()[name]
             dst = Column(name, src.dtype)
-            nulls = src.null_mask()
-            vals = src.values()
-            for gi in indices:
-                if gi < len(nulls) and bool(nulls[gi]):
-                    dst.push(None)
+            if idx.size:
+                nulls = np.asarray(src.null_mask(), dtype=bool)[idx]
+                if src.dtype is DataType.String:
+                    vals = src.values()
+                    sel = [vals[i] for i in idx]
                 else:
-                    v = vals[gi]
-                    if src.dtype is DataType.String:
-                        dst.push(v)
-                    elif src.dtype is DataType.DateTime:
-                        dst.push(int(v))
-                    elif src.dtype in (DataType.Int32, DataType.Int64):
-                        dst.push(int(v))
-                    elif src.dtype is DataType.Bool:
-                        dst.push(bool(v))
-                    else:
-                        dst.push(float(v))
+                    sel = np.asarray(src.values())[idx]
+                dst._set_raw(sel, nulls)
             data[name] = dst
         merge_dur = time.perf_counter() - merge_start
 
@@ -1503,7 +1584,11 @@ class PendingMetaQuery:
         )
         if store._index_map is not None:
             # sorted store: report ORIGINAL ingestion-order row ids
-            indices = [int(store._index_map[i]) for i in indices]
+            indices = (
+                store._index_map[np.asarray(indices, dtype=np.int64)].tolist()
+                if indices
+                else []
+            )
         self._result = MetaQueryResults(col_names, data, indices, scores)
         return self._result
 

@@ -759,6 +759,132 @@ def _scan_topk(
 
 PANEL_K_MAX = 1024
 SCAN_K_MAX = DIRECT_LIMIT // 4
+# Host-memory ceiling for the windowed take-all path: b * n_pad candidate
+# scores (f32) + validity (bool) are staged host-side, so 2^28 candidates
+# ~= 1.3 GB. Beyond this, take(k) with a smaller k is required.
+TAKE_ALL_LIMIT = 1 << 28
+
+
+def needs_windowed(n_pad: int, b: int, k_eff: int) -> bool:
+    """True when no on-device top-k strategy fits this (b, n_pad, k): the
+    take-all regime (reference meta.rs:638-640 returns EVERY row). A k-sized
+    device buffer would rival the store itself, so the windowed host
+    collection takes over wherever direct/panel/scan are ineligible."""
+    if b * n_pad <= DIRECT_LIMIT:
+        # direct handles most k at this size — but take-most/all of a big
+        # store would compile a near-full-length device sort (minutes of
+        # compile, and the windowed host argsort is faster anyway)
+        return (
+            k_eff > PANEL_K_MAX
+            and 4 * k_eff > b * n_pad
+            and b * n_pad > (1 << 20)
+        )
+    if k_eff <= PANEL_K_MAX and n_pad % PANEL_BIN == 0:
+        return False
+    if n_pad % SCAN_TILE == 0 and k_eff <= SCAN_K_MAX:
+        return False
+    return True
+
+
+@partial(
+    jax.jit, static_argnames=("metric", "cmp", "prec", "w", "take_min")
+)
+def _window_block(
+    vectors, norms_sq, inv_norms, valid, queries, row_mask, thr, start,
+    *, metric: Metric, cmp: Optional[Cmp], prec: str, w: int, take_min: bool,
+):
+    """Score one w-row window -> ([B, w] scores, [B, w] candidate-ok)."""
+    d = vectors.shape[1]
+    v = jax.lax.dynamic_slice(vectors, (start, 0), (w, d))
+    nsq = jax.lax.dynamic_slice(norms_sq, (start,), (w,))
+    inv = jax.lax.dynamic_slice(inv_norms, (start,), (w,))
+    vld = jax.lax.dynamic_slice(valid, (start,), (w,))
+    q_sq, q_inv = _query_norms(queries)
+    scores = _score_block(queries, q_inv, q_sq, v, inv, nsq, metric, prec)
+    ok = vld[None, :]
+    if row_mask is not None:
+        ok = ok & jax.lax.dynamic_slice(row_mask, (start,), (w,))[None, :]
+    ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
+    return scores, ok
+
+
+def _window_size(n_pad: int, b: int) -> int:
+    """Largest 512-multiple window dividing n_pad with b*w <= DIRECT_LIMIT."""
+    w = max(512, min(n_pad, (DIRECT_LIMIT // max(b, 1)) // 512 * 512))
+    while w > 512 and n_pad % w != 0:
+        w -= 512
+    if n_pad % w != 0:  # tiny/unaligned stores: one window covers everything
+        w = n_pad
+    return w
+
+
+def collect_all(
+    dv: DeviceVecs,
+    queries,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    thr: Optional[float],
+    row_mask=None,
+    prec: str = "highest",
+):
+    """Windowed full-score collection for the take-all regime.
+
+    Streams [B, w] score windows device->host (double-buffered: window i+1
+    is dispatched before window i is fetched) and runs the global top-k on
+    the host. Matches the reference's take-all semantics (meta.rs:638-640,
+    699-709: sort everything by the take direction, truncate to k) at sizes
+    where no on-device top-k buffer fits. Returns (rows, scores, valid) as
+    host arrays like :func:`run_vec_topk`.
+    """
+    n_pad = dv.vectors.shape[0]
+    b = queries.shape[0]
+    total = b * n_pad
+    if total > TAKE_ALL_LIMIT:
+        raise OttersError(
+            f"take({k}) over {b} queries x {n_pad} rows stages "
+            f"{total} candidate scores (> {TAKE_ALL_LIMIT}); use a smaller "
+            "take(k) or fewer queries per batch"
+        )
+    k_eff = min(k, total)
+    q = jnp.asarray(queries, dtype=jnp.float32)
+    thr_arr = jnp.float32(0.0) if thr is None else jnp.float32(thr)
+    cmp_eff = None if thr is None else cmp
+    rm = None if row_mask is None else jnp.asarray(row_mask)
+    w = _window_size(n_pad, b)
+
+    scores_h = np.empty((b, n_pad), dtype=np.float32)
+    ok_h = np.empty((b, n_pad), dtype=bool)
+    kwargs = dict(metric=metric, cmp=cmp_eff, prec=prec, w=w, take_min=take_min)
+    pending = []  # (start, device (scores, ok)) double buffer
+    for start in list(range(0, n_pad, w)) + [None]:
+        if start is not None:
+            out = _window_block(
+                dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm,
+                thr_arr, jnp.int32(start), **kwargs,
+            )
+            pending.append((start, out))
+        if len(pending) > 1 or (start is None and pending):
+            s0, out0 = pending.pop(0)
+            sc, okw = jax.device_get(out0)
+            scores_h[:, s0 : s0 + w] = sc
+            ok_h[:, s0 : s0 + w] = okw
+
+    key = np.where(ok_h, scores_h, np.inf if take_min else -np.inf).reshape(-1)
+    if not take_min:
+        key = -key  # ascending sort on negated keys = take_max order
+    if k_eff * 4 < total:
+        part = np.argpartition(key, k_eff - 1)[:k_eff]
+        # argpartition breaks flat-index tie order; sort the survivors by
+        # (key, flat index) so ties resolve lower-index-first like lax.top_k
+        order = part[np.lexsort((part, key[part]))]
+    else:
+        order = np.argsort(key, kind="stable")[:k_eff]
+    rows = (order % n_pad).astype(np.int32)
+    out_scores = scores_h.reshape(-1)[order]
+    out_valid = ok_h.reshape(-1)[order]
+    return rows, out_scores, out_valid
 
 
 def choose_mode(n_pad: int, b: int, k_eff: int) -> str:
@@ -808,6 +934,12 @@ def run_vec_topk(
     if dv.vectors.dtype == jnp.int8 and metric is not Metric.Cosine:
         raise OttersError(
             "int8 quantized storage supports the Cosine metric only"
+        )
+    if needs_windowed(n_pad, b, k_eff):
+        # take-all regime: stream score windows to the host (meta.rs:638-640)
+        return collect_all(
+            dv, queries, metric, k_eff, take_min, cmp, thr,
+            row_mask=row_mask, prec=prec,
         )
     mode = choose_mode(n_pad, b, k_eff)
     args = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rm, thr_arr)

@@ -212,6 +212,8 @@ class ShardedMetaStore(MetaStore):
     MetaStore (query/query_batch -> meta_filter/vec_filter/take -> collect).
     """
 
+    _supports_windowed = False  # runs its own SPMD program instead
+
     def __init__(self, schema):
         super().__init__(schema)
         self.mesh = None
