@@ -91,6 +91,25 @@ def main() -> None:
     print(r)
     store.print_last_query_stats()
 
+    print("\n=== int8 storage + exact re-rank (recall recovery) ===")
+    # quarter-HBM quantized storage; take(k, rerank_from=k') re-scores the
+    # widened candidate set in exact f32 via the builder's rerank source
+    store8 = (
+        MetaStore.from_columns(list(cols.values()))
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    r = (
+        store8.query(q.tolist(), Metric.Cosine)
+        .meta_filter(col("category").eq("electronics"))
+        .take(5, rerank_from=100)
+        .collect()
+    )
+    print(r)
+
 
 if __name__ == "__main__":
     main()

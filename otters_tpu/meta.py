@@ -435,6 +435,34 @@ class MetaStoreBuilder:
         self._sort_by = None
         self._z_order = None
         self._storage_dtype = "float32"
+        self._rerank = None
+
+    def with_rerank_source(
+        self, fetch_vectors=None, keep_host_f32: bool = False
+    ) -> "MetaStoreBuilder":
+        """Attach a source of TRUE f32 vectors for exact re-ranking.
+
+        The bfloat16/int8 storage knobs trade exactness for HBM; recall is
+        recovered by ``.take(k, rerank_from=k_wide)`` on the query plan: the
+        quantized scan returns ``k_wide`` candidates, the true rows are
+        fetched from this source, and the final top-k is exact-f32-scored
+        host-side (the reference's exactness contract,
+        vec_compute.rs:77-294, restored on top of approximate storage).
+
+        Exactly one of:
+        - ``fetch_vectors(indices) -> [m, d] float32`` — called with
+          ORIGINAL ingestion-order row ids (host store, disk, regeneration);
+        - ``keep_host_f32=True`` — keep the ingested f32 rows host-side
+          (costs n*d*4 bytes of host RAM; unavailable for pre-built
+          DeviceVecs, whose f32 form never existed).
+        """
+        if (fetch_vectors is None) == (not keep_host_f32):
+            raise OttersError(
+                "with_rerank_source takes exactly one of fetch_vectors / "
+                "keep_host_f32=True"
+            )
+        self._rerank = (fetch_vectors, bool(keep_host_f32))
+        return self
 
     def with_vectors(self, vectors, n_rows=None) -> "MetaStoreBuilder":
         """Supply vectors: a [n, d] numpy array / list of rows, or a
@@ -583,6 +611,26 @@ class MetaStoreBuilder:
                     f"length {n_rows}"
                 )
 
+        rerank_fetch = None
+        if self._rerank is not None:
+            fetch, keep = self._rerank
+            if keep:
+                if pre_built:
+                    raise OttersError(
+                        "keep_host_f32 is unavailable for pre-built "
+                        "DeviceVecs (their f32 form never existed); pass "
+                        "fetch_vectors instead"
+                    )
+                # snapshot BEFORE any sort/z-order permutation: rerank ids
+                # are ORIGINAL ingestion-order row ids
+                host_f32 = np.asarray(vectors, dtype=np.float32)[:n_rows]
+
+                def rerank_fetch(ids, _hf=host_f32):
+                    return _hf[np.asarray(ids, dtype=np.int64)]
+
+            else:
+                rerank_fetch = fetch
+
         build_start = time.perf_counter()
 
         index_map = None
@@ -686,6 +734,7 @@ class MetaStoreBuilder:
         store._sort_by = self._sort_by
         store._z_order = self._z_order
         store._storage_dtype = self._storage_dtype
+        store._rerank_fetch = rerank_fetch
         store._build_stats = MetaBuildStats(
             n_rows=n_rows,
             dim=dim,
@@ -727,6 +776,7 @@ class MetaStore:
         self._sort_by = None
         self._storage_dtype = "float32"
         self._n_deleted = 0
+        self._rerank_fetch = None  # set via builder.with_rerank_source
         self._plan_cache: Dict = {}
         self._aot_key_cache: Dict = {}
         self._hostmask_cache: Dict = {}
@@ -1131,6 +1181,7 @@ class MetaQueryPlan:
         self._vec_filter: Optional[Tuple[float, Cmp]] = None
         self._take_type: Optional[TakeType] = None
         self._take_count: Optional[int] = None
+        self._rerank_from: Optional[int] = None
 
     def meta_filter(self, expr: Expr) -> "MetaQueryPlan":
         try:
@@ -1144,9 +1195,20 @@ class MetaQueryPlan:
         self._vec_filter = (float(score), cmp)
         return self
 
-    def take(self, k: int) -> "MetaQueryPlan":
+    def take(self, k: int, rerank_from: Optional[int] = None) -> "MetaQueryPlan":
+        """Keep the top ``k``. With ``rerank_from=k_wide`` (requires
+        ``with_rerank_source`` on the builder), the device scan collects
+        ``k_wide`` candidates and the final ``k`` are exact-f32 re-scored
+        against the true vectors — recall recovery for bf16/int8 storage."""
         self._take_count = int(k)
         self._take_type = default_take_type(self._metric)
+        if rerank_from is not None:
+            rf = int(rerank_from)
+            if rf < int(k):
+                raise OttersError(
+                    f"rerank_from ({rf}) must be >= take k ({int(k)})"
+                )
+            self._rerank_from = rf
         return self
 
     # -- leaf lowering --------------------------------------------------------
@@ -1332,6 +1394,13 @@ class MetaQueryPlan:
         store = self._store
         total_start = time.perf_counter()
         k = self._take_count if self._take_count is not None else store.n_rows
+        if self._rerank_from is not None:
+            if store._rerank_fetch is None:
+                raise OttersError(
+                    "take(k, rerank_from=...) requires "
+                    "with_rerank_source(...) on the MetaStoreBuilder"
+                )
+            k = self._rerank_from  # widen the device scan; result() reranks
         take_type = self._take_type or default_take_type(self._metric)
         if isinstance(self._queries, list):
             queries = (
@@ -1478,6 +1547,44 @@ class PendingMetaQuery:
         self._result: Optional[MetaQueryResults] = None
         self._fetched = None
 
+    def _exact_rerank(self, indices):
+        """Exact-f32 re-rank of the widened candidate set (the library form
+        of the exactness contract, vec_compute.rs:77-294, over approximate
+        bf16/int8 storage). Candidates are fetched by ORIGINAL row id; the
+        returned indices are back in CURRENT positions (materialization and
+        the final index_map remap expect them so)."""
+        from .evaluate import exact_rerank
+
+        plan = self._plan
+        store = plan._store
+        k_final = plan._take_count
+        idx = np.asarray(indices, dtype=np.int64)
+        orig = store._index_map[idx] if store._index_map is not None else idx
+        # re-rank ALL candidates, re-apply the vec_filter on the exact
+        # scores, then truncate — a filter that passed on scan scores can
+        # fail on exact ones (and vice versa near the threshold)
+        rows, scrs = exact_rerank(
+            np.asarray(self._queries, dtype=np.float32),
+            orig.tolist(),
+            store._rerank_fetch,
+            plan._metric,
+            len(orig),
+            take_min=(self._take_type is TakeType.Min),
+        )
+        if plan._vec_filter is not None:
+            thr, cmp = plan._vec_filter
+            op = CmpOp[cmp.value]  # Cmp names are a subset of CmpOp's
+            keep = [i for i, s in enumerate(scrs) if _num_cmp(s, thr, op)]
+            rows = [rows[i] for i in keep]
+            scrs = [scrs[i] for i in keep]
+        rows = rows[:k_final]
+        scrs = scrs[:k_final]
+        if store._index_map is not None:
+            inv = np.empty(store.n_rows, dtype=np.int64)
+            inv[store._index_map] = np.arange(store.n_rows)
+            rows = inv[np.asarray(rows, dtype=np.int64)].tolist()
+        return rows, scrs
+
     def result(self) -> MetaQueryResults:
         if self._result is not None:
             return self._result
@@ -1547,6 +1654,9 @@ class PendingMetaQuery:
                     ok_np = np.asarray(valid, dtype=bool)
                     indices = np.asarray(rows)[ok_np].astype(np.int64).tolist()
                     scores = np.asarray(scrs)[ok_np].tolist()
+
+            if plan._rerank_from is not None and indices:
+                indices, scores = self._exact_rerank(indices)
         score_dur = time.perf_counter() - self._score_start
 
         # ---- merge phase: result-column materialization (host) ----

@@ -242,6 +242,7 @@ class ShardedMetaStore(MetaStore):
         out._n_deleted = store._n_deleted
         out._bloom_config = store._bloom_config
         out._storage_dtype = store._storage_dtype
+        out._rerank_fetch = store._rerank_fetch
 
         # re-pad rows and chunks so both axes split evenly across shards.
         # When chunk_size and SCAN_TILE have a small lcm (e.g. power-of-two
