@@ -262,12 +262,27 @@ def _build_device_column(
             params = bloom_ops.BloomParams.from_fpr(val, chunk_size)
         else:
             params = bloom_ops.BloomParams.from_bits(val, chunk_size)
-        chunk_ids = np.arange(n, dtype=np.int64) // chunk_size
-        matrix = bloom_ops.build_matrix(
-            g1, g2, nulls_np, chunk_ids, n_chunks, params,
-            chunk_size=chunk_size,
+        import os
+
+        import jax as _jax
+
+        use_device = bloom_ops.device_build_ok(params, n_chunks) and (
+            _jax.devices()[0].platform == "tpu"
+            or os.environ.get("OTTERS_BLOOM_DEVICE")
         )
-        dev["bloom"] = jnp.asarray(matrix)
+        if use_device:
+            # TPU path: the bit scatter runs on device from the pre-hashed
+            # (g1, g2) arrays — host work is hashing only (SURVEY C10)
+            dev["bloom"] = bloom_ops.build_matrix_device(
+                g1, g2, nulls_np, chunk_size, n_chunks, params
+            )
+        else:
+            chunk_ids = np.arange(n, dtype=np.int64) // chunk_size
+            matrix = bloom_ops.build_matrix(
+                g1, g2, nulls_np, chunk_ids, n_chunks, params,
+                chunk_size=chunk_size,
+            )
+            dev["bloom"] = jnp.asarray(matrix)
         aux = params
         rep = "str"
 
