@@ -560,6 +560,15 @@ class MetaStoreBuilder:
             self.with_column(name, c)
         return self
 
+    def build_sharded(self, mesh) -> "MetaStore":
+        """Build a ShardedMetaStore by DIRECT sharded ingest over ``mesh``:
+        every array is placed straight into per-shard HBM, so capacity
+        scales with the mesh (the store never exists on one device). See
+        otters_tpu.parallel.meta_sharded.build_sharded."""
+        from .parallel.meta_sharded import build_sharded
+
+        return build_sharded(self, mesh)
+
     def build(self) -> "MetaStore":
         if self._vectors is None:
             raise OttersError("vectors must be provided to build MetaStore")

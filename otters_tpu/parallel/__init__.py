@@ -9,7 +9,13 @@ with k-sized all-gathers over ICI — cheap payloads, no full-score traffic.
 
 from .dist_query import ShardedVecStore, sharded_topk
 from .mesh import init_distributed, make_mesh
-from .meta_sharded import ShardedMetaStore, build_sharded
+from .meta_sharded import (
+    ShardedMetaStore,
+    build_sharded,
+    materialize_f32_slabs_sharded,
+    materialize_int8_slabs_sharded,
+    sharded_geometry,
+)
 
 __all__ = [
     "ShardedVecStore",
@@ -18,4 +24,7 @@ __all__ = [
     "make_mesh",
     "ShardedMetaStore",
     "build_sharded",
+    "materialize_f32_slabs_sharded",
+    "materialize_int8_slabs_sharded",
+    "sharded_geometry",
 ]

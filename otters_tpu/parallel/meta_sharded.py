@@ -218,6 +218,20 @@ class ShardedMetaStore(MetaStore):
         super().__init__(schema)
         self.mesh = None
 
+    # -- mutability: the base-class implementations would round-trip the
+    # validity mask through host numpy and re-place it UNSHARDED --
+    def delete_rows(self, indices) -> None:
+        raise OttersError(
+            "sharded stores are immutable; delete on the source store and "
+            "rebuild with build_sharded (or re-shard)"
+        )
+
+    def append(self, vectors, column_values):
+        raise OttersError(
+            "sharded stores are immutable; append on the source store and "
+            "rebuild with build_sharded (or re-shard)"
+        )
+
     @staticmethod
     def shard(store: MetaStore, mesh) -> "ShardedMetaStore":
         import jax
@@ -404,6 +418,476 @@ class ShardedMetaStore(MetaStore):
         return rows, scores, ok, True, ev, re_
 
 
+# ---------------------------------------------------------------------------
+# Direct sharded ingest + build (round-3: capacity scale-out)
+#
+# ShardedMetaStore.shard() materializes the FULL single-device store first and
+# round-trips it through host numpy — an 8-chip mesh could only serve a store
+# that already fit one chip's HBM. build_sharded() places every slab, column
+# array, zonemap and Bloom matrix straight into per-shard HBM: the whole store
+# never exists on one device, so capacity scales with the mesh (BASELINE
+# config 5; the multi-chip analog of the reference's scale loop,
+# meta.rs:678-691).
+# ---------------------------------------------------------------------------
+
+
+def sharded_geometry(n_rows: int, chunk: int, n_shards: int):
+    """-> (n_pad_s, n_chunks_s, n_chunks): row/chunk padding so both axes
+    split evenly across shards AND every shard's chunk range exactly covers
+    its row range (the alignment per-shard Pallas tile-skipping needs)."""
+    import math
+
+    lcm = scoring.SCAN_TILE * chunk // math.gcd(scoring.SCAN_TILE, chunk)
+    if lcm > 4 * scoring.SCAN_TILE:
+        raise OttersError(
+            f"build_sharded requires a chunk size aligning with the scan "
+            f"tile ({scoring.SCAN_TILE}); chunk_size={chunk} does not. Use "
+            "a power-of-two chunk size, or build single-device and "
+            "ShardedMetaStore.shard(...) it."
+        )
+    unit = lcm * n_shards
+    n_pad_s = max(unit, -(-max(n_rows, 1) // unit) * unit)
+    n_chunks = -(-n_rows // chunk) if n_rows else 0
+    return n_pad_s, n_pad_s // chunk, n_chunks
+
+
+def _row_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("rows"))
+
+
+def _put_padded(mesh, arr: np.ndarray, n_target: int, fill):
+    """Place a host [n, ...] array as a padded [n_target, ...] array sharded
+    along 'rows' WITHOUT forming the padded whole anywhere: each shard's
+    callback slices + pads only its own block."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    arr = np.asarray(arr)
+    shape = (n_target,) + arr.shape[1:]
+    spec = P("rows") if arr.ndim == 1 else P("rows", None)
+    sharding = NamedSharding(mesh, spec)
+
+    def cb(index):
+        sl = index[0]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else n_target
+        out = np.full((stop - start,) + arr.shape[1:], fill, dtype=arr.dtype)
+        avail = min(max(arr.shape[0] - start, 0), stop - start)
+        if avail > 0:
+            out[:avail] = arr[start : start + avail]
+        return out
+
+    return jax.make_array_from_callback(shape, sharding, cb)
+
+
+_sharded_jit_cache: Dict = {}
+
+
+def _sharded_call(mesh, key, fn, *args):
+    """jit ``fn`` with all outputs forced onto the 'rows' sharding (a single
+    sharding is a valid pytree prefix: dim 0 sharded, rest replicated)."""
+    import jax
+
+    ck = (id(mesh), key)
+    jitted = _sharded_jit_cache.get(ck)
+    if jitted is None:
+        jitted = jax.jit(fn, out_shardings=_row_sharding(mesh))
+        if len(_sharded_jit_cache) < 256:
+            _sharded_jit_cache[ck] = jitted
+    return jitted(*args)
+
+
+def _sharded_zeros(mesh, shape, dtype):
+    import jax.numpy as jnp
+
+    return _sharded_call(
+        mesh, ("zeros", shape, str(dtype)), lambda: jnp.zeros(shape, dtype)
+    )
+
+
+def materialize_int8_slabs_sharded(
+    slab_fn, n: int, d: int, slab_rows: int, mesh, chunk_size: int = 1024
+) -> scoring.DeviceVecs:
+    """Slab-streamed int8 ingest straight into per-shard HBM.
+
+    Same ``slab_fn(start, rows) -> f32 [rows, d]`` contract as
+    ``scoring.materialize_int8_slabs``; peak per-device HBM = the store's
+    shard + ONE f32 slab. ``chunk_size`` must match the builder's so the
+    padded geometry agrees (``sharded_geometry``)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_shards = mesh.shape["rows"]
+    n_pad_s, _, _ = sharded_geometry(n, chunk_size, n_shards)
+    buf8 = _sharded_zeros(mesh, (n_pad_s, d), jnp.int8)
+    nsq = _sharded_zeros(mesh, (n_pad_s,), jnp.float32)
+    inv = _sharded_zeros(mesh, (n_pad_s,), jnp.float32)
+    slab_rows = min(slab_rows, n_pad_s)
+    for start in range(0, n_pad_s, slab_rows):
+        rows = min(slab_rows, n_pad_s - start)
+        slab = jnp.asarray(slab_fn(start, rows), dtype=jnp.float32)
+        buf8, nsq, inv = scoring._int8_ingest_slab(
+            buf8, nsq, inv, slab, jnp.int32(start)
+        )
+    # sharding propagation through the donated updates keeps the buffers on
+    # their shards; the device_put is a no-op guarantee of that contract
+    sh2 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows", None))
+    sh1 = _row_sharding(mesh)
+    buf8 = jax.device_put(buf8, sh2)
+    nsq = jax.device_put(nsq, sh1)
+    inv = jax.device_put(inv, sh1)
+    valid = _sharded_call(
+        mesh, ("valid", n_pad_s, n),
+        lambda: jnp.arange(n_pad_s, dtype=jnp.int32) < n,
+    )
+    return scoring.DeviceVecs(buf8, nsq, inv, valid)
+
+
+def materialize_f32_slabs_sharded(
+    slab_fn, n: int, d: int, slab_rows: int, mesh, chunk_size: int = 1024,
+    dtype=None,
+) -> scoring.DeviceVecs:
+    """Slab-streamed f32/bf16 ingest straight into per-shard HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if dtype is None else dtype
+    n_shards = mesh.shape["rows"]
+    n_pad_s, _, _ = sharded_geometry(n, chunk_size, n_shards)
+    buf = _sharded_zeros(mesh, (n_pad_s, d), dtype)
+    slab_rows = min(slab_rows, n_pad_s)
+    for start in range(0, n_pad_s, slab_rows):
+        rows = min(slab_rows, n_pad_s - start)
+        slab = jnp.asarray(slab_fn(start, rows), dtype=jnp.float32)
+        buf = _f32_ingest_slab_cast(buf, slab.astype(dtype), jnp.int32(start))
+    sh2 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows", None))
+    buf = jax.device_put(buf, sh2)
+    nsq, invn = _sharded_call(
+        mesh, ("norms", n_pad_s, d, str(dtype)),
+        lambda v: scoring._device_norms(v), buf,
+    )
+    valid = _sharded_call(
+        mesh, ("valid", n_pad_s, n),
+        lambda: jnp.arange(n_pad_s, dtype=jnp.int32) < n,
+    )
+    return scoring.DeviceVecs(buf, nsq, invn, valid)
+
+
+def _f32_ingest_slab_cast(buf, slab, start):
+    import jax
+
+    return jax.jit(
+        lambda b, s, st: jax.lax.dynamic_update_slice(b, s, (st, 0)),
+        donate_argnums=(0,),
+    )(buf, slab, start)
+
+
+def _stage_column_host(colo, n: int):
+    """Host staging for one column's device arrays (fills match the
+    single-device zonemap padding in ops/zonemap.py): ->
+    (rep, [(key, host_array [n], pad_fill)], nulls_np, str_hashes)."""
+    from ..types import DataType
+    from ..ops import hashing, wide64
+
+    _I32 = np.iinfo(np.int32)
+    nulls = np.asarray(colo.null_mask(), dtype=bool)[:n]
+    dt = colo.dtype
+    if dt is DataType.Int32 or dt is DataType.Bool:
+        vals = np.asarray(colo.values(), dtype=np.int32)[:n] if (
+            dt is DataType.Int32
+        ) else np.asarray(colo.values(), dtype=np.bool_)[:n].astype(np.int32)
+        return "i32", [("vals", vals, _I32.min)], nulls, None
+    if dt is DataType.Float32:
+        vals = np.asarray(colo.values(), dtype=np.float32)[:n]
+        return "f32", [("vals", vals, np.nan)], nulls, None
+    if dt in (DataType.Int64, DataType.DateTime):
+        hi, lo = wide64.split_i64(np.asarray(colo.values(), dtype=np.int64)[:n])
+        return "w64", [("hi", hi, _I32.min), ("lo", lo, 0)], nulls, None
+    if dt is DataType.Float64:
+        hi, lo = wide64.split_f64(np.asarray(colo.values(), dtype=np.float64)[:n])
+        return "w64f", [("hi", hi, 0), ("lo", lo, 0)], nulls, None
+    strings = list(colo.values())[:n]
+    g1, g2 = hashing.hash_strings(strings)
+    rh_hi, rh_lo = hashing.identity_halves(g1)
+    return (
+        "str",
+        [("rh_hi", np.where(nulls, 0, rh_hi), 0),
+         ("rh_lo", np.where(nulls, 0, rh_lo), 0)],
+        nulls,
+        (g1, g2),
+    )
+
+
+def _zm_sharded(mesh, kind, args, statics):
+    """Run a zonemap program (ops/zonemap.py) over sharded, PRE-PADDED
+    inputs (n == n_pad, so the internal pads are no-ops and every reduction
+    stays shard-local: n_pad_s / n_shards is a chunk multiple by
+    construction)."""
+    from ..ops import zonemap as zm
+
+    inner = {
+        "i32": zm._build_i32_jit,
+        "f32": zm._build_f32_jit,
+        "w64": zm._build_w64_jit,
+        "w64f": zm._build_w64f_jit,
+        "str": zm._build_str_rows_jit,
+    }[kind]
+    key = ("zm", kind) + tuple(sorted(statics.items()))
+    return _sharded_call(mesh, key, partial(inner, **statics), *args)
+
+
 def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
-    """Build then shard (convenience wrapper)."""
-    return ShardedMetaStore.shard(builder.build(), mesh)
+    """Build a ShardedMetaStore by DIRECT sharded ingest: vectors, column
+    arrays, null masks, zonemaps and Bloom matrices are placed straight into
+    per-shard HBM — the full store never exists on one device and never
+    round-trips through host numpy after placement. Capacity therefore
+    scales with the mesh (round-2 verdict item 1; BASELINE config 5).
+
+    Accepts the same vector inputs as ``build()`` except that pre-built
+    DeviceVecs must already be sharded over THIS mesh with the matching
+    geometry (use ``materialize_int8_slabs_sharded`` /
+    ``materialize_f32_slabs_sharded``)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .. import meta as meta_mod
+    from ..ops import bloom as bloom_ops
+
+    b = builder
+    if b._vectors is None:
+        raise OttersError("vectors must be provided to build MetaStore")
+    n_shards = mesh.shape["rows"]
+    c = b._chunk_size
+    vectors = b._vectors
+    pre_built = isinstance(vectors, scoring.DeviceVecs)
+    from_device = (not pre_built) and isinstance(vectors, jax.Array)
+
+    # ---- resolve n_rows / dim (mirrors MetaStoreBuilder.build) ----
+    if pre_built:
+        if b._vectors_n is None:
+            raise OttersError(
+                "with_vectors(DeviceVecs) requires n_rows (the logical row "
+                "count; the buffers are padded)"
+            )
+        n_rows = int(b._vectors_n)
+        dim = int(vectors.vectors.shape[1])
+        if vectors.vectors.dtype == jnp.int8:
+            b._storage_dtype = "int8"
+        elif vectors.vectors.dtype == jnp.bfloat16:
+            b._storage_dtype = "bfloat16"
+    elif from_device:
+        n_rows = int(
+            b._vectors_n if b._vectors_n is not None else vectors.shape[0]
+        )
+        dim = int(vectors.shape[1])
+    else:
+        if not isinstance(vectors, np.ndarray):
+            vectors = np.asarray(
+                [np.asarray(v, dtype=np.float32) for v in vectors],
+                dtype=np.float32,
+            )
+        vectors = vectors.astype(np.float32, copy=False)
+        n_rows, dim = vectors.shape
+    if dim == 0 and n_rows > 0:
+        raise OttersError("vector dimension cannot be zero")
+    for name in b._schema:
+        colo = b._columns.get(name)
+        if colo is None:
+            raise OttersError(f"missing column '{name}' in builder columns")
+        if len(colo) != n_rows:
+            raise OttersError(
+                f"column '{name}' length {len(colo)} does not match vectors "
+                f"length {n_rows}"
+            )
+
+    n_pad_s, n_chunks_s, n_chunks = sharded_geometry(n_rows, c, n_shards)
+    build_start = time.perf_counter()
+
+    # ---- optional clustering (host-array vectors only) ----
+    columns = b._columns
+    index_map = None
+    orig_columns = None
+    if b._sort_by is not None or b._z_order is not None:
+        if pre_built or from_device:
+            raise OttersError(
+                "with_sort_by / with_z_order under build_sharded require "
+                "host-array vectors (generate device slabs in sorted order "
+                "instead)"
+            )
+        if b._sort_by is not None:
+            sort_col, desc = b._sort_by
+            if sort_col not in b._schema:
+                raise OttersError(
+                    f"unknown column '{sort_col}' not present in schema"
+                )
+            perm = meta_mod._sort_permutation(columns[sort_col], n_rows, desc)
+        else:
+            for nm in b._z_order:
+                if nm not in b._schema:
+                    raise OttersError(
+                        f"unknown column '{nm}' not present in schema"
+                    )
+            perm = meta_mod._zorder_permutation(columns, b._z_order, n_rows)
+        orig_columns = columns
+        columns = {
+            name: meta_mod._permute_column(col_, perm)
+            for name, col_ in columns.items()
+        }
+        vectors = vectors[perm]
+        index_map = perm
+
+    # ---- rerank source (host snapshot BEFORE placement) ----
+    rerank_fetch = None
+    if b._rerank is not None:
+        fetch, keep = b._rerank
+        if keep:
+            if pre_built or from_device:
+                raise OttersError(
+                    "keep_host_f32 under build_sharded requires host-array "
+                    "vectors; pass fetch_vectors instead"
+                )
+            host_f32 = (
+                vectors if index_map is None else vectors[_inverse(index_map)]
+            )
+
+            def rerank_fetch(ids, _hf=host_f32):
+                return _hf[np.asarray(ids, dtype=np.int64)]
+
+        else:
+            rerank_fetch = fetch
+
+    # ---- vector ingest: straight to per-shard HBM ----
+    ingest_start = time.perf_counter()
+    sh1 = _row_sharding(mesh)
+    sh2 = NamedSharding(mesh, P("rows", None))
+    if pre_built:
+        dv = vectors
+        if int(dv.vectors.shape[0]) != n_pad_s:
+            raise OttersError(
+                f"pre-built DeviceVecs has {int(dv.vectors.shape[0])} padded "
+                f"rows; this mesh/chunk geometry needs {n_pad_s} — build it "
+                "with materialize_*_slabs_sharded(mesh=..., chunk_size=...)"
+            )
+    else:
+        if from_device:
+            placed = jax.device_put(vectors.astype(jnp.float32), sh2)
+            if int(placed.shape[0]) != n_pad_s:
+                placed = _sharded_call(
+                    mesh, ("padrows", n_pad_s, dim, int(placed.shape[0])),
+                    lambda v: jnp.pad(
+                        v[:min(v.shape[0], n_pad_s)],
+                        ((0, max(0, n_pad_s - v.shape[0])), (0, 0)),
+                    ),
+                    placed,
+                )
+        else:
+            placed = _put_padded(mesh, vectors, n_pad_s, 0.0)
+        if b._storage_dtype == "int8":
+
+            def _quant(v):
+                return scoring._quantize_rows_int8(v)
+
+            v8, nsq, invn = _sharded_call(
+                mesh, ("quant8", n_pad_s, dim), _quant, placed
+            )
+            vecs_dev = v8
+        else:
+            tgt = jnp.bfloat16 if b._storage_dtype == "bfloat16" else jnp.float32
+
+            def _caststats(v):
+                vv = v.astype(tgt)
+                nsq, invn = scoring._device_norms(vv)
+                return vv, nsq, invn
+
+            vecs_dev, nsq, invn = _sharded_call(
+                mesh, ("cast", n_pad_s, dim, b._storage_dtype), _caststats,
+                placed,
+            )
+        valid = _sharded_call(
+            mesh, ("valid", n_pad_s, n_rows),
+            lambda: jnp.arange(n_pad_s, dtype=jnp.int32) < n_rows,
+        )
+        dv = scoring.DeviceVecs(vecs_dev, nsq, invn, valid)
+    jax.block_until_ready(dv)
+    ingest_dur = time.perf_counter() - ingest_start
+
+    # ---- columns: pad host-side per shard, zonemaps computed ON shard ----
+    zstart = time.perf_counter()
+    device_cols: Dict[str, Dict] = {}
+    col_reprs: Dict[str, str] = {}
+    bloom_params: Dict[str, bloom_ops.BloomParams] = {}
+    statics = dict(c=c, n_chunks=n_chunks_s, n_pad=n_pad_s)
+    for name in b._schema:
+        rep, parts, nulls_np, str_aux = _stage_column_host(columns[name], n_rows)
+        args = [
+            _put_padded(mesh, arr, n_pad_s, fill) for _, arr, fill in parts
+        ]
+        args.append(_put_padded(mesh, nulls_np, n_pad_s, True))
+        devcol = dict(_zm_sharded(mesh, rep, tuple(args), statics))
+        if rep == "str":
+            g1, g2 = str_aux
+            kind, val = b._bloom
+            if kind == "fpr":
+                params = bloom_ops.BloomParams.from_fpr(val, c)
+            else:
+                params = bloom_ops.BloomParams.from_bits(val, c)
+            chunk_ids = np.arange(n_rows, dtype=np.int64) // c
+            matrix = bloom_ops.build_matrix(
+                g1, g2, nulls_np, chunk_ids, n_chunks, params, chunk_size=c
+            )
+            devcol["bloom"] = _put_padded(mesh, matrix, n_chunks_s, 0)
+            bloom_params[name] = params
+        device_cols[name] = devcol
+        col_reprs[name] = rep
+    chunk_lens = np.zeros(n_chunks_s, dtype=np.int32)
+    if n_chunks:
+        chunk_lens[:n_chunks] = np.minimum(
+            np.full(n_chunks, c, dtype=np.int64),
+            n_rows - np.arange(n_chunks, dtype=np.int64) * c,
+        ).astype(np.int32)
+    chunk_lens_dev = _put_padded(mesh, chunk_lens, n_chunks_s, 0)
+    if device_cols:
+        jax.block_until_ready(device_cols)
+    zonemap_dur = time.perf_counter() - zstart
+
+    # ---- assemble ----
+    out = ShardedMetaStore(b._schema)
+    out.mesh = mesh
+    out._columns = columns
+    out._chunk_size = c
+    out._n_rows = n_rows
+    out._dim = dim
+    out._n_chunks = n_chunks
+    out._dv = dv
+    out._device_cols = device_cols
+    out._col_reprs = col_reprs
+    out._bloom_params = bloom_params
+    out._chunk_lens = chunk_lens_dev
+    out._bloom_config = b._bloom
+    out._index_map = index_map
+    out._orig_columns = orig_columns
+    out._sort_by = b._sort_by
+    out._z_order = b._z_order
+    out._storage_dtype = b._storage_dtype
+    out._rerank_fetch = rerank_fetch
+    out._pallas_aligned = True
+    out._build_stats = meta_mod.MetaBuildStats(
+        n_rows=n_rows,
+        dim=dim,
+        n_chunks=n_chunks,
+        vectors_ingest_duration=ingest_dur,
+        zonemap_build_duration=zonemap_dur,
+        build_total_duration=time.perf_counter() - build_start,
+    )
+    return out
+
+
+def _inverse(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty(len(perm), dtype=np.int64)
+    inv[perm] = np.arange(len(perm))
+    return inv

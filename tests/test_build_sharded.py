@@ -1,0 +1,251 @@
+"""Direct sharded ingest + build (round-3): the store is placed straight
+into per-shard HBM — it never exists on one device — and queries agree
+exactly with the single-device oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from otters_tpu import Cmp, Column, DataType, Metric, MetaStore, col
+from otters_tpu.errors import OttersError
+from otters_tpu.parallel import (
+    make_mesh,
+    materialize_int8_slabs_sharded,
+    sharded_geometry,
+)
+
+N, D, CHUNK = 20_000, 32, 512
+ROWS_SHARDS = 4
+
+
+def _columns(n, rng):
+    price = [None if i % 53 == 0 else float(rng.uniform(0, 100)) for i in range(n)]
+    version = (np.arange(n) % 7).astype(np.int32)
+    tag = [f"t{i % 37}" for i in range(n)]
+    when = [f"202{(i % 4)}-0{(i % 9) + 1}-15" for i in range(n)]
+    flag = [None if i % 29 == 0 else (i % 2 == 0) for i in range(n)]
+    count = (np.arange(n, dtype=np.int64) * 3_000_000_000) % (1 << 40)
+    weight = rng.normal(size=n).astype(np.float32)
+    return [
+        Column("price", DataType.Float64).from_values(price),
+        Column("version", DataType.Int32).from_values(version),
+        Column("tag", DataType.String).from_values(tag),
+        Column("when", DataType.DateTime).from_values(when),
+        Column("flag", DataType.Bool).from_values(flag),
+        Column("count", DataType.Int64).from_values(count),
+        Column("weight", DataType.Float32).from_values(weight),
+    ]
+
+
+@pytest.fixture(scope="module")
+def stores():
+    rng = np.random.default_rng(31)
+    vectors = rng.normal(size=(N, D)).astype(np.float32)
+    cols = _columns(N, rng)
+    local = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(CHUNK)
+        .build()
+    )
+    mesh = make_mesh(rows=ROWS_SHARDS, batch=2)
+    sharded = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(CHUNK)
+        .build_sharded(mesh)
+    )
+    return local, sharded, vectors, cols
+
+
+def _row_shards(arr):
+    """Number of distinct blocks the first axis is split into."""
+    return arr.shape[0] // arr.sharding.shard_shape(arr.shape)[0]
+
+
+def test_every_array_is_placed_sharded(stores):
+    """The capacity contract: every row/chunk-axis array is split across
+    the 'rows' axis — no leaf ever holds the whole store on one device."""
+    _, sharded, _, _ = stores
+    n_pad_s, n_chunks_s, _ = sharded_geometry(N, CHUNK, ROWS_SHARDS)
+    dv = sharded._dv
+    assert dv.vectors.shape[0] == n_pad_s
+    for arr in (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid):
+        assert _row_shards(arr) == ROWS_SHARDS, arr.sharding
+    assert _row_shards(sharded._chunk_lens) == ROWS_SHARDS
+    assert sharded._chunk_lens.shape[0] == n_chunks_s
+    for name, colarrs in sharded._device_cols.items():
+        for key, arr in colarrs.items():
+            assert _row_shards(arr) == ROWS_SHARDS, (name, key, arr.sharding)
+
+
+def _check(local, sharded, plan_fn):
+    want = plan_fn(local).collect()
+    got = plan_fn(sharded).collect()
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-5)
+    return want, got
+
+
+def test_build_sharded_query_parity(stores):
+    local, sharded, _, _ = stores
+    rng = np.random.default_rng(2)
+    qs = rng.normal(size=(4, D)).astype(np.float32)
+
+    _check(local, sharded, lambda s: s.query_batch(qs, Metric.Cosine).take(12))
+    _check(
+        local, sharded,
+        lambda s: s.query_batch(qs, Metric.DotProduct)
+        .meta_filter(col("price").lt(30.0) & col("when").gte("2022-01-01"))
+        .take(20),
+    )
+    _check(
+        local, sharded,
+        lambda s: s.query_batch(qs, Metric.Cosine)
+        .meta_filter(col("tag").eq("t5") | col("tag").eq("t11"))
+        .take(15),
+    )
+    _check(
+        local, sharded,
+        lambda s: s.query_batch(qs, Metric.Cosine)
+        .meta_filter(
+            (col("flag").eq(True) | col("price").is_null())
+            & col("count").gt(1 << 33)
+        )
+        .take(10),
+    )
+    _check(
+        local, sharded,
+        lambda s: s.query_batch(qs, Metric.Cosine)
+        .meta_filter(col("tag").contains("t1") & ~col("version").eq(3))
+        .take(10),
+    )
+    w, g = _check(
+        local, sharded,
+        lambda s: s.query_batch(qs, Metric.Euclidean)
+        .vec_filter(float(D) * 2.2, Cmp.Lt)
+        .take(25),
+    )
+    assert len(g) > 0
+
+
+def test_build_sharded_stats_parity(stores):
+    local, sharded, _, _ = stores
+    rng = np.random.default_rng(3)
+    qs = rng.normal(size=(2, D)).astype(np.float32)
+    expr = col("version").eq(2)
+    for s in (local, sharded):
+        s.query_batch(qs, Metric.Cosine).meta_filter(expr).take(5).collect()
+    ws, gs = local.last_query_stats(), sharded.last_query_stats()
+    assert gs.evaluated_chunks == ws.evaluated_chunks
+    assert gs.total_chunks == ws.total_chunks
+    assert gs.vectors_compared == ws.vectors_compared
+
+
+def test_build_sharded_zorder_and_rerank():
+    rng = np.random.default_rng(5)
+    n, d = 6_000, 16
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    price = rng.uniform(0, 100, n)
+    cat = [f"c{i % 5}" for i in range(n)]
+    cols = [
+        Column("price", DataType.Float64).from_values(price),
+        Column("cat", DataType.String).from_values(cat),
+    ]
+    mesh = make_mesh(rows=4, batch=2)
+    build = lambda b: (
+        b.with_chunk_size(512)
+        .with_z_order(["cat", "price"])
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+    )
+    local = build(
+        MetaStore.from_columns(cols).with_vectors(vectors)
+    ).build()
+    sharded = build(
+        MetaStore.from_columns(cols).with_vectors(vectors)
+    ).build_sharded(mesh)
+    qs = rng.normal(size=(3, d)).astype(np.float32)
+    expr = col("cat").eq("c2") & col("price").between(10.0, 60.0)
+    want = (
+        local.query_batch(qs, Metric.Cosine).meta_filter(expr)
+        .take(8, rerank_from=64).collect()
+    )
+    got = (
+        sharded.query_batch(qs, Metric.Cosine).meta_filter(expr)
+        .take(8, rerank_from=64).collect()
+    )
+    # ids are ORIGINAL ingestion-order ids on both paths; rerank is exact f32
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+    assert all(cat[i] == "c2" and 10.0 <= price[i] <= 60.0 for i in got.indices)
+
+
+def test_sharded_int8_slab_ingest():
+    rng = np.random.default_rng(6)
+    n, d, chunk = 40_000, 16, 1024
+    full = rng.normal(size=(n + 8192, d)).astype(np.float32)
+
+    def slab_fn(start, rows):
+        return full[start : start + rows]
+
+    mesh = make_mesh(rows=4, batch=2)
+    dv = materialize_int8_slabs_sharded(slab_fn, n, d, 8192, mesh, chunk)
+    n_pad_s, _, _ = sharded_geometry(n, chunk, 4)
+    assert dv.vectors.shape == (n_pad_s, d)
+    assert _row_shards(dv.vectors) == 4
+    assert _row_shards(dv.norms_sq) == 4
+    price = (np.arange(n) % 100).astype(np.float64)
+    cols = [Column("price", DataType.Float64).from_values(price)]
+    store = (
+        MetaStore.from_columns(cols)
+        .with_vectors(dv, n_rows=n)
+        .with_chunk_size(chunk)
+        .build_sharded(mesh)
+    )
+    assert store._storage_dtype == "int8"
+    # oracle: single-device int8 store over the same rows
+    local = (
+        MetaStore.from_columns(cols)
+        .with_vectors(full[:n])
+        .with_chunk_size(chunk)
+        .with_storage_dtype("int8")
+        .build()
+    )
+    qs = rng.normal(size=(2, d)).astype(np.float32)
+    expr = col("price").lt(50.0)
+    want = local.query_batch(qs, Metric.Cosine).meta_filter(expr).take(10).collect()
+    got = store.query_batch(qs, Metric.Cosine).meta_filter(expr).take(10).collect()
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_build_sharded_error_paths():
+    mesh = make_mesh(rows=4, batch=2)
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(100, 8)).astype(np.float32)
+    with pytest.raises(OttersError, match="chunk size"):
+        (
+            MetaStore.from_columns([])
+            .with_vectors(vecs)
+            .with_chunk_size(3000)
+            .build_sharded(mesh)
+        )
+    from otters_tpu.ops import scoring
+
+    dv = scoring.materialize(vecs)  # single-device padding: wrong geometry
+    with pytest.raises(OttersError, match="padded rows"):
+        (
+            MetaStore.from_columns([])
+            .with_vectors(dv, n_rows=100)
+            .build_sharded(mesh)
+        )
+    from otters_tpu.parallel import ShardedMetaStore
+
+    store = MetaStore.from_columns([]).with_vectors(vecs).build_sharded(mesh)
+    with pytest.raises(OttersError, match="immutable"):
+        store.delete_rows([1])
+    with pytest.raises(OttersError, match="immutable"):
+        store.append(vecs[:1], {})
+    assert isinstance(store, ShardedMetaStore)
