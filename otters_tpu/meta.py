@@ -1122,6 +1122,26 @@ class MetaStore:
         )
         return compiled(*args)
 
+    def _run_exact_mask_query(
+        self, queries, exact_mask, metric, k, take_min, cmp, thr
+    ):
+        """Hash-collision fallback: re-run with an exact host-computed row
+        mask. Returns HOST (rows, scores, valid). ShardedMetaStore overrides
+        this to route the mask through its SPMD program (an unsharded
+        re-dispatch over mesh-sharded arrays would gather the store onto one
+        device)."""
+        return scoring.run_vec_topk(
+            self._dv,
+            queries,
+            metric,
+            k,
+            take_min=take_min,
+            cmp=cmp,
+            thr=thr,
+            row_mask=exact_mask,
+            prec=self.precision,
+        )
+
     def precompile(
         self,
         filters=None,
@@ -1664,16 +1684,14 @@ class PendingMetaQuery:
                         else plan._vec_filter
                     )
                     exact_mask = plan._host_exact_row_mask(dv.vectors.shape[0])
-                    rows, scrs, valid = scoring.run_vec_topk(
-                        dv,
+                    rows, scrs, valid = store._run_exact_mask_query(
                         self._queries,
+                        exact_mask,
                         plan._metric,
                         self._k,
-                        take_min=(self._take_type is TakeType.Min),
-                        cmp=cmp,
-                        thr=thr,
-                        row_mask=exact_mask,
-                        prec=store.precision,
+                        (self._take_type is TakeType.Min),
+                        cmp,
+                        thr,
                     )
                     ok_np = np.asarray(valid, dtype=bool)
                     indices = np.asarray(rows)[ok_np].astype(np.int64).tolist()

@@ -42,6 +42,10 @@ from . import wide64
 
 def _leaf_row_mask(leaf, params, cols):
     rep, name, cmp = leaf
+    if rep == "hostmask":
+        # extended string predicate (or a synthetic exact-mask plan from the
+        # collision fallback): evaluated host-side, no column arrays needed
+        return params[0]
     c = cols[name]
     not_null = ~c["null"]
     if rep == "null":
@@ -87,9 +91,6 @@ def _leaf_row_mask(leaf, params, cols):
         if cmp is CmpOp.Neq:
             return not_null
         return jnp.zeros_like(not_null)
-    if rep == "hostmask":
-        # extended string predicate, evaluated host-side (nulls excluded)
-        return params[0]
     # string: identity-hash compare (two uint32 halves = one 64-bit compare)
     rh_hi, rh_lo, _, _ = params
     eq = (c["rh_hi"] == rh_hi) & (c["rh_lo"] == rh_lo)
@@ -104,6 +105,8 @@ def _leaf_row_mask(leaf, params, cols):
 
 def _leaf_chunk_mask(leaf, params, cols):
     rep, name, cmp = leaf
+    if rep == "hostmask":
+        return params[1]  # exact per-chunk any(), computed host-side
     c = cols[name]
     has_values = c["non_null"] > 0
     if rep == "null":
@@ -118,8 +121,6 @@ def _leaf_chunk_mask(leaf, params, cols):
         if cmp is CmpOp.Neq:
             return has_values
         return jnp.zeros_like(has_values)
-    if rep == "hostmask":
-        return params[1]  # exact per-chunk any(), computed host-side
     if rep == "str":
         if cmp is CmpOp.Eq:
             _, _, words, masks = params

@@ -43,6 +43,7 @@ def _jit_sharded_program():
             "prec",
             "tile",
             "chunk_size",
+            "fast",
         ),
     )
     def sharded_meta_query(
@@ -63,6 +64,7 @@ def _jit_sharded_program():
         prec,
         tile="auto",
         chunk_size=0,
+        fast=False,
     ):
         def local_fn(dv_l, cols_l, clens_l, q_l, qv_l, params_l, thr_l):
             n_local = dv_l.vectors.shape[0]
@@ -116,7 +118,7 @@ def _jit_sharded_program():
                     )
                 else:
                     alive = jnp.ones(n_local // t_rows, dtype=jnp.bool_)
-                rows, scores, ok, _ = pk.pallas_topk(
+                rows, scores, ok, check = pk.pallas_topk(
                     dv_l.vectors,
                     dv_l.norms_sq,
                     dv_l.inv_norms,
@@ -125,7 +127,7 @@ def _jit_sharded_program():
                     rmask,
                     thr_l,
                     alive,
-                    fast=False,
+                    fast=fast,
                     q_valid=qv_l,
                     **kwargs,
                 )
@@ -135,13 +137,20 @@ def _jit_sharded_program():
                 rows, scores, ok = scoring.direct_topk_core(
                     *args, q_valid=qv_l, **kwargs
                 )
+                check = jnp.bool_(True)
             else:
                 rows, scores, ok = scoring.panel_topk_core(
                     *args, q_valid=qv_l, **kwargs
                 )
+                check = jnp.bool_(True)
             rows = rows + jax.lax.axis_index("rows") * n_local
 
             axes = ("rows", "batch")
+            # the verified fast-exact certificate must hold on EVERY shard:
+            # one failed local check invalidates the global merge
+            check_g = (
+                jax.lax.psum((~check).astype(jnp.int32), axes) == 0
+            )
             rows_g = jax.lax.all_gather(rows, axes).reshape(-1)
             scores_g = jax.lax.all_gather(scores, axes).reshape(-1)
             ok_g = jax.lax.all_gather(ok, axes).reshape(-1)
@@ -154,7 +163,7 @@ def _jit_sharded_program():
 
             ev_g = jax.lax.psum(ev, "rows")
             re_g = jax.lax.psum(re_, "rows")
-            return rows_g[sel], scores_g[sel], ok_g[sel], ev_g, re_g
+            return rows_g[sel], scores_g[sel], ok_g[sel], check_g, ev_g, re_g
 
         col_specs = {
             name: {
@@ -193,7 +202,7 @@ def _jit_sharded_program():
                 params_specs,
                 P(),
             ),
-            out_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
         return fn(dv, cols, chunk_lens, queries, q_valid, plan_params, thr)
@@ -390,6 +399,7 @@ class ShardedMetaStore(MetaStore):
         b_local = b_pad // n_batch
         k_eff = min(k, b * self._dv.vectors.shape[0])
         tile = "auto"
+        fast = False
         if (
             getattr(self, "_pallas_aligned", False)
             and metric not in VPU_METRICS
@@ -397,7 +407,15 @@ class ShardedMetaStore(MetaStore):
             and pk.pallas_ok(n_local, self._dim, b_local, k_eff)
         ):
             tile = "pallas"
-        rows, scores, ok, ev, re_ = _sharded_meta_query(
+            # verified fast-exact per shard (round-3): bf16_3x phase 1 with
+            # the sound error bound, certificates psum'd across the mesh;
+            # a failed certificate triggers the caller's strict redo
+            fast = (
+                not strict
+                and self._dv.vectors.dtype != jnp.int8
+                and pk.fast_ok(metric, take_min, cmp, k_eff, self.precision)
+            )
+        rows, scores, ok, check, ev, re_ = _sharded_meta_query(
             self._dv,
             cols_sub,
             self._chunk_lens,
@@ -414,8 +432,45 @@ class ShardedMetaStore(MetaStore):
             prec=self.precision,
             tile=tile,
             chunk_size=self._chunk_size,
+            fast=fast,
         )
-        return rows, scores, ok, True, ev, re_
+        return rows, scores, ok, check, ev, re_
+
+    def _run_exact_mask_query(
+        self, queries, exact_mask, metric, k, take_min, cmp, thr
+    ):
+        """Hash-collision fallback, shard-aware: the exact host row mask
+        rides the SPMD program as a synthetic hostmask plan leaf (sharded
+        along 'rows'), so the re-run never gathers the store onto one
+        device. The chunk mask is all-ones (conservative; this is a
+        p ~ 2^-64 path — correctness over stats)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..types import CmpOp
+
+        queries = np.asarray(queries, dtype=np.float32)
+        m = np.asarray(exact_mask, dtype=bool)
+        n_chunks_dev = int(self._chunk_lens.shape[0])
+        plan_static = ((("hostmask", "", CmpOp.Contains),),)
+        plan_params = (
+            (
+                (
+                    jnp.asarray(m),
+                    jnp.asarray(np.ones(n_chunks_dev, dtype=bool)),
+                ),
+            ),
+        )
+        rows, scores, ok, _, _, _ = jax.device_get(
+            self._run_query_program(
+                {}, queries, plan_params,
+                0.0 if thr is None else thr,
+                plan_static, metric, k, take_min,
+                None if thr is None else cmp,
+                strict=True,
+            )
+        )
+        return rows, scores, ok
 
 
 # ---------------------------------------------------------------------------

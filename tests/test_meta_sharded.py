@@ -210,3 +210,141 @@ def test_sharded_precompile_and_save_roundtrip(tmp_path):
     loaded = MetaStore.load(path)  # loads as a local store
     a = loaded.query_batch(q, Metric.Cosine).meta_filter(col("v").lt(3)).take(4).collect()
     assert a.indices == r.indices
+
+
+# ---- round-3: verified fast-exact + collision fallback on the mesh ----------
+
+
+def _pallas_sharded_store(monkeypatch, n, d, chunk, seed):
+    monkeypatch.setenv("OTTERS_PALLAS_INTERPRET", "1")
+    import otters_tpu.ops.scoring as scoring_mod
+
+    monkeypatch.setattr(scoring_mod, "DIRECT_LIMIT", 1 << 10)
+    rng = np.random.default_rng(seed)
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    price = (np.arange(n) // chunk % 2 * 50 + np.arange(n) % 10).astype(
+        np.float32
+    )
+    cols = [Column("price", DataType.Float32).from_values(price)]
+    mesh = make_mesh(rows=8, batch=1)
+    sharded = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(chunk)
+        .build_sharded(mesh)
+    )
+    return sharded, vectors, price, rng
+
+
+def test_sharded_fast_exact_engaged_and_correct(monkeypatch):
+    """fast=True reaches the per-shard kernel (no more hardcoded
+    fast=False) and the certified result is exact."""
+    from otters_tpu.ops import pallas_topk as pk
+
+    fast_seen = []
+    orig = pk.pallas_topk
+
+    def spy(*args, **kwargs):
+        fast_seen.append(kwargs.get("fast", False))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pk, "pallas_topk", spy)
+    sharded, vectors, price, rng = _pallas_sharded_store(
+        monkeypatch, 65536, 8, 1024, 61
+    )
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    expr = col("price").lt(10.0)
+    r = sharded.query_batch(q, Metric.Cosine).meta_filter(expr).take(7).collect()
+    assert any(fast_seen), "fast mode never engaged on the sharded path"
+    qi = 1 / np.linalg.norm(q, axis=1)
+    vi = 1 / np.linalg.norm(vectors, axis=1)
+    s = (q @ vectors.T) * qi[:, None] * vi[None, :]
+    s[:, price >= 10.0] = -np.inf
+    want = np.sort(s.reshape(-1))[::-1][:7]
+    np.testing.assert_allclose(r.scores, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_fast_check_failure_triggers_strict_redo(monkeypatch):
+    """A failed certificate on ANY shard must re-run the whole query
+    strictly (psum'd check + the caller's strict redo)."""
+    from otters_tpu.ops import pallas_topk as pk
+    from otters_tpu.parallel.meta_sharded import ShardedMetaStore as SMS
+
+    # an absurd error bound makes the certificate unsatisfiable -> check
+    # False on every shard (fresh shapes force a retrace under the patch)
+    monkeypatch.setattr(pk, "high_precision_bound", lambda d: 1.0e9)
+    strict_calls = []
+    orig = SMS._run_query_program
+
+    def spy(self, *a, **kw):
+        strict_calls.append(kw.get("strict", False))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(SMS, "_run_query_program", spy)
+    # per-shard stores must be big enough that phase 1 leaves UNEXAMINED
+    # bins (a finite certificate boundary) — tiny shards legitimately pass
+    # the check even with an absurd bound
+    sharded, vectors, price, rng = _pallas_sharded_store(
+        monkeypatch, 262144, 8, 512, 62
+    )
+    q = rng.normal(size=(2, 8)).astype(np.float32)
+    expr = col("price").lt(10.0)
+    r = sharded.query_batch(q, Metric.Cosine).meta_filter(expr).take(5).collect()
+    assert True in strict_calls, "strict redo never ran"
+    qi = 1 / np.linalg.norm(q, axis=1)
+    vi = 1 / np.linalg.norm(vectors, axis=1)
+    s = (q @ vectors.T) * qi[:, None] * vi[None, :]
+    s[:, price >= 10.0] = -np.inf
+    want = np.sort(s.reshape(-1))[::-1][:5]
+    np.testing.assert_allclose(r.scores, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_hash_collision_fallback(monkeypatch):
+    """An injected string-hash collision on a SHARDED store must be caught
+    by host verification and corrected through the SPMD exact-mask re-run
+    (never an unsharded re-dispatch)."""
+    from otters_tpu.ops import hashing
+
+    rng = np.random.default_rng(63)
+    n, d = 2048, 8
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    names = ["a" if i % 2 == 0 else "b" for i in range(n)]
+    cols = [Column("name", DataType.String).from_values(names)]
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(128)
+        .build_sharded(mesh)
+    )
+    # collide the QUERY hash of "b" with the stored hash of "a": the device
+    # now matches the wrong rows; host verification must detect + redo
+    real = hashing.hash_string
+    monkeypatch.setattr(
+        hashing, "hash_string", lambda s: real("a") if s == "b" else real(s)
+    )
+    base_exact = type(sharded).__mro__[1]._run_exact_mask_query
+    sharded_exact_calls = []
+    orig_exact = type(sharded)._run_exact_mask_query
+
+    def spy(self, *a, **kw):
+        sharded_exact_calls.append(1)
+        return orig_exact(self, *a, **kw)
+
+    monkeypatch.setattr(type(sharded), "_run_exact_mask_query", spy)
+    q = rng.normal(size=(d,)).astype(np.float32)
+    r = (
+        sharded.query(q, Metric.Cosine)
+        .meta_filter(col("name").eq("b"))
+        .take(6)
+        .collect()
+    )
+    assert sharded_exact_calls, "collision fallback never ran"
+    assert all(names[i] == "b" for i in r.indices)
+    qi = 1 / np.linalg.norm(q)
+    vi = 1 / np.linalg.norm(vectors, axis=1)
+    s = (vectors @ q) * qi * vi
+    mask = np.array([nm == "b" for nm in names])
+    want = np.sort(s[mask])[::-1][:6]
+    np.testing.assert_allclose(r.scores, want, rtol=1e-5, atol=1e-5)
+    assert base_exact is not None
