@@ -387,6 +387,23 @@ def _jit_meta_program():
                 **kwargs,
             )
             return rows, scores, ok, check, evaluated, rows_eval
+        if tile == "scan_pruned":
+            # pruning for the VPU metrics (and any non-Pallas backend):
+            # dead tiles cost neither HBM reads nor VPU work
+            from .ops import pallas_topk as pk
+
+            import jax.numpy as jnp
+
+            if plan_static:
+                alive = pk.tiles_alive_from_chunk_mask(
+                    cmask, chunk_size, n_pad, scoring.SCAN_TILE
+                )
+            else:
+                alive = jnp.ones(n_pad // scoring.SCAN_TILE, dtype=jnp.bool_)
+            rows, scores, ok = scoring.scan_pruned_topk_core(
+                *args, alive, tile=scoring.SCAN_TILE, **kwargs
+            )
+            return rows, scores, ok, jnp.bool_(True), evaluated, rows_eval
         if tile == "panel":
             rows, scores, ok = scoring.panel_topk_core(*args, **kwargs)
         elif tile == "scan":
@@ -1052,6 +1069,17 @@ class MetaStore:
             )
         tile = scoring.choose_mode(n_pad, b, k_eff)
         fast = False
+        if (
+            metric in VPU_METRICS
+            and plan_static
+            and n_pad % scoring.SCAN_TILE == 0
+            and n_pad >= 4 * scoring.SCAN_TILE
+            and k_eff <= scoring.SCAN_K_MAX
+        ):
+            # filtered VPU-metric query at scale: skip pruned tiles (the
+            # dense paths would still scan every row; meta.rs:647-691
+            # prunes independent of the metric)
+            tile = "scan_pruned"
         if tile == "panel" and metric not in VPU_METRICS:
             from .ops import pallas_topk as pk
 

@@ -753,6 +753,94 @@ def _scan_topk(
     )
 
 
+def scan_pruned_topk_core(
+    vectors,
+    norms_sq,
+    inv_norms,
+    valid,
+    queries,
+    row_mask,
+    thr,
+    tile_alive,
+    *,
+    metric: Metric,
+    k: int,
+    take_min: bool,
+    cmp: Optional[Cmp],
+    prec: str,
+    tile: int,
+    q_valid=None,
+):
+    """Streaming top-k that SKIPS pruned tiles entirely (round-3: pruning
+    pays for every metric, reference meta.rs:647-691 prunes independent of
+    the metric).
+
+    Unlike :func:`scan_topk_core` (whose xs pre-load every tile), each step
+    loads its tile with ``dynamic_slice`` INSIDE the alive branch of a
+    ``lax.cond`` — a dead tile costs neither HBM reads nor VPU/MXU work.
+    This is the pruning path for the VPU metrics (Manhattan / Hamming /
+    Jaccard), which the Pallas kernel does not admit; soundness is the
+    same contract as the Pallas tile skipping (every row of a dead tile
+    fails the row mask).
+    """
+    n_pad, d = vectors.shape
+    b = queries.shape[0]
+    n_tiles = n_pad // tile
+    q_sq, q_inv = _query_norms(queries)
+    kk = min(k, b * tile)
+
+    def step(carry, t_idx):
+        def live(best):
+            best_key, best_row, best_score, best_valid = best
+            start = t_idx * tile
+            v = jax.lax.dynamic_slice(vectors, (start, 0), (tile, d))
+            nsq = jax.lax.dynamic_slice(norms_sq, (start,), (tile,))
+            inv = jax.lax.dynamic_slice(inv_norms, (start,), (tile,))
+            vld = jax.lax.dynamic_slice(valid, (start,), (tile,))
+            scores = _score_block(queries, q_inv, q_sq, v, inv, nsq, metric, prec)
+            ok = vld[None, :]
+            if row_mask is not None:
+                rm = jax.lax.dynamic_slice(row_mask, (start,), (tile,))
+                ok = ok & rm[None, :]
+            if q_valid is not None:
+                ok = ok & q_valid[:, None]
+            ok = ok & _filter_ok(scores, thr, cmp) & ~jnp.isnan(scores)
+            key = jnp.where(ok, scores, -jnp.inf if not take_min else jnp.inf)
+            if take_min:
+                key = -key
+            key_flat = key.reshape(-1)
+
+            def merge(_):
+                t_key, t_flat = exact_topk_flat(key_flat, kk)
+                t_row = (start + t_flat % tile).astype(jnp.int32)
+                t_score = scores.reshape(-1)[t_flat]
+                t_valid = ok.reshape(-1)[t_flat]
+                m_key = jnp.concatenate([best_key, t_key])
+                m_row = jnp.concatenate([best_row, t_row])
+                m_score = jnp.concatenate([best_score, t_score])
+                m_valid = jnp.concatenate([best_valid, t_valid])
+                nk, sel = jax.lax.top_k(m_key, k)
+                return nk, m_row[sel], m_score[sel], m_valid[sel]
+
+            return jax.lax.cond(
+                jnp.max(key_flat) > best_key[-1], merge, lambda _: best, None
+            )
+
+        carry = jax.lax.cond(tile_alive[t_idx], live, lambda c: c, carry)
+        return carry, None
+
+    init = (
+        jnp.full((k,), -jnp.inf, dtype=jnp.float32),
+        jnp.zeros((k,), dtype=jnp.int32),
+        jnp.zeros((k,), dtype=jnp.float32),
+        jnp.zeros((k,), dtype=jnp.bool_),
+    )
+    (best_key, best_row, best_score, best_valid), _ = jax.lax.scan(
+        step, init, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    return best_row, best_score, best_valid
+
+
 # ---------------------------------------------------------------------------
 # Dispatcher
 # ---------------------------------------------------------------------------

@@ -131,6 +131,23 @@ def _jit_sharded_program():
                     q_valid=qv_l,
                     **kwargs,
                 )
+            elif tile == "scan_pruned":
+                # filtered VPU-metric query: skip locally-pruned tiles
+                from ..ops import pallas_topk as pk
+
+                if plan_static:
+                    alive = pk.tiles_alive_from_chunk_mask(
+                        cmask, chunk_size, n_local, scoring.SCAN_TILE
+                    )
+                else:
+                    alive = jnp.ones(
+                        n_local // scoring.SCAN_TILE, dtype=jnp.bool_
+                    )
+                rows, scores, ok = scoring.scan_pruned_topk_core(
+                    *args, alive, tile=scoring.SCAN_TILE, q_valid=qv_l,
+                    **kwargs,
+                )
+                check = jnp.bool_(True)
             elif b_local * n_local <= scoring.DIRECT_LIMIT or (
                 n_local % scoring.PANEL_BIN != 0
             ):
@@ -401,6 +418,14 @@ class ShardedMetaStore(MetaStore):
         tile = "auto"
         fast = False
         if (
+            metric in VPU_METRICS
+            and plan_static
+            and n_local % scoring.SCAN_TILE == 0
+            and n_local >= 4 * scoring.SCAN_TILE
+            and k_eff <= scoring.SCAN_K_MAX
+        ):
+            tile = "scan_pruned"
+        elif (
             getattr(self, "_pallas_aligned", False)
             and metric not in VPU_METRICS
             and b_local * n_local > scoring.DIRECT_LIMIT
