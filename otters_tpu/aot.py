@@ -76,7 +76,7 @@ def _backend_tag() -> str:
     extra = hashlib.sha256(f"{runtime}|{flags}".encode()).hexdigest()[:8]
     return (
         f"{jax.__version__}|{dev.platform}|{dev.device_kind}|"
-        f"{extra}|{_code_version()}"
+        f"n{len(jax.devices())}|{extra}|{_code_version()}"
     )
 
 
@@ -143,10 +143,12 @@ def load_or_compile(key: str, jitted, args, static_kwargs):
 
     compiled = None
     path = _blob_path(key)
-    # deserialized executables bind to the compile-time device assignment;
-    # only load blobs on single-device backends (the serving shape — multi
-    # -chip stores go through the shard_map path, which keeps its own jit)
-    if path and os.path.exists(path) and len(jax.local_devices()) == 1:
+    # deserialized executables bind to the compile-time device assignment.
+    # That is safe here because the key pins it: _backend_tag carries the
+    # device count, and multi-device programs put their Mesh (with concrete
+    # device ids) in the static repr — a blob is only ever found by a
+    # process with the identical topology + assignment.
+    if path and os.path.exists(path):
         try:
             from jax.experimental.serialize_executable import (
                 deserialize_and_load,

@@ -354,10 +354,12 @@ class ShardedMetaStore(MetaStore):
         metric: Metric = Metric.Cosine,
         with_vec_filter: bool = False,
     ) -> int:
-        """Warm the SPMD program for each signature by running one query
-        through the real sharded path (the base class's AOT machinery is
-        single-device; resharding a multi-chip store through it would be
-        wrong and could OOM one device)."""
+        """Ready the SPMD program for each signature by running one query
+        through the real sharded path. Round-3: these now route through the
+        AOT executable cache too — the first process compiles and persists
+        serialized multi-device executables (keyed by the concrete device
+        assignment), later processes on the same topology deserialize in
+        well under a second."""
         from .. import aot
         from ..types import Cmp, TakeType, default_take_type
 
@@ -440,14 +442,7 @@ class ShardedMetaStore(MetaStore):
                 and self._dv.vectors.dtype != jnp.int8
                 and pk.fast_ok(metric, take_min, cmp, k_eff, self.precision)
             )
-        rows, scores, ok, check, ev, re_ = _sharded_meta_query(
-            self._dv,
-            cols_sub,
-            self._chunk_lens,
-            qs,
-            qv,
-            plan_params,
-            jnp.float32(thr),
+        static_kwargs = dict(
             mesh=self.mesh,
             plan_static=plan_static,
             metric=metric,
@@ -459,7 +454,39 @@ class ShardedMetaStore(MetaStore):
             chunk_size=self._chunk_size,
             fast=fast,
         )
-        return rows, scores, ok, check, ev, re_
+        args = (
+            self._dv, cols_sub, self._chunk_lens, qs, qv, plan_params,
+            jnp.float32(thr),
+        )
+        import os
+
+        from .. import aot
+
+        if os.environ.get("OTTERS_DISABLE_AOT"):
+            return _sharded_meta_query(*args, **static_kwargs)
+        # AOT executable cache for the SPMD program (round-3): the key pins
+        # the concrete device assignment (mesh repr carries no ids), so a
+        # blob only ever loads into the identical topology
+        memo = (plan_static, b_pad, k_eff, metric, take_min, cmp,
+                self.precision, tile, fast)
+        key = self._aot_key_cache.get(memo)
+        if key is None:
+            dev_ids = tuple(d.id for d in self.mesh.devices.flat)
+            key = aot.signature(
+                "sharded_meta_query",
+                repr(sorted(static_kwargs.items(), key=str)) + repr(dev_ids),
+                args,
+                {},
+            )
+            if len(self._aot_key_cache) < 512:
+                self._aot_key_cache[memo] = key
+        if aot.jit_is_ready(key):
+            return _sharded_meta_query(*args, **static_kwargs)
+        compiled = aot.lookup(key) or aot.load_or_compile(
+            key, _sharded_meta_query, args, static_kwargs
+        )
+        aot.ensure_jit_warm(key, _sharded_meta_query, args, static_kwargs)
+        return compiled(*args)
 
     def _run_exact_mask_query(
         self, queries, exact_mask, metric, k, take_min, cmp, thr

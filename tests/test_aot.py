@@ -124,3 +124,65 @@ def test_signature_distinguishes_shapes_and_statics(store):
     b = aot.signature("p", "s1", (jnp.zeros((2, 4)),), {})
     c = aot.signature("p", "s2", (jnp.zeros((2, 3)),), {})
     assert len({a, b, c}) == 3
+
+
+def test_sharded_disk_blob_roundtrip_subprocess(tmp_path):
+    """Round-3: the SPMD (shard_map) program persists and deserializes as a
+    multi-device executable. Process A compiles over an 8-device CPU mesh
+    and persists; process B (same topology) serves the first query from the
+    blob with ZERO aot-layer compiles."""
+    import subprocess
+    import sys
+
+    prog = r"""
+import os, sys, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from otters_tpu import Column, DataType, Metric, MetaStore
+from otters_tpu import aot
+from otters_tpu.parallel import make_mesh
+rng = np.random.default_rng(71)
+n = 4096
+cols = [Column("price", DataType.Float32).from_values(
+    (np.arange(n) % 100).astype(np.float32))]
+mesh = make_mesh(rows=4, batch=2)
+store = (MetaStore.from_columns(cols)
+         .with_vectors(rng.normal(size=(n, 16)).astype(np.float32))
+         .with_chunk_size(1024).build_sharded(mesh))
+mode = sys.argv[1]
+q = np.random.default_rng(72).normal(size=(2, 16)).astype(np.float32)
+t0 = time.perf_counter()
+r = store.query_batch(q, Metric.Cosine).take(3).collect()
+dt = time.perf_counter() - t0
+if mode == "save":
+    assert aot.stats["compiles"] >= 1, aot.stats
+else:
+    assert aot.stats["disk_hits"] >= 1, aot.stats
+    assert aot.stats["compiles"] == 0, aot.stats
+vecs = np.asarray(store._dv.vectors[: store.n_rows])
+qi = 1 / np.linalg.norm(q, axis=1)
+vi = 1 / np.linalg.norm(vecs, axis=1)
+s = (q @ vecs.T) * qi[:, None] * vi[None, :]
+want = np.sort(s.reshape(-1))[::-1][:3]
+np.testing.assert_allclose(r.scores, want, rtol=1e-5, atol=1e-6)
+print(f"OK {mode} first_query_s={dt:.3f}")
+"""
+    env = dict(
+        __import__("os").environ,
+        OTTERS_AOT_CACHE=str(tmp_path),
+        JAX_PLATFORMS="cpu",
+        OTTERS_AOT_NO_WARM="1",
+    )
+    outs = {}
+    for mode in ("save", "load"):
+        res = subprocess.run(
+            [sys.executable, "-c", prog, mode],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert res.returncode == 0, (mode, res.stdout, res.stderr[-2000:])
+        assert f"OK {mode}" in res.stdout
+        outs[mode] = res.stdout
+    blobs = list(tmp_path.glob("*.jaxexe"))
+    assert blobs and all(b.stat().st_size > 0 for b in blobs)
