@@ -53,28 +53,110 @@ def log(msg: str) -> None:
 def _configure_jax():
     import jax
 
+    cache_dir = "/tmp/jax_comp_cache"
+    if os.environ.get("OTTERS_BENCH_COLD"):
+        # cold probe: a virgin compilation cache too
+        import tempfile
+
+        cache_dir = tempfile.mkdtemp(prefix="jax_cold_cache_")
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
 
-def _columns(n: int):
+def cold_probe() -> None:
+    """--cold-probe: measure the FIRST-EVER-machine experience on the 10M
+    store — run by main() in a fresh subprocess whose env points
+    OTTERS_AOT_CACHE at an empty dir (round-2 verdict item 2b). Prints one
+    JSON line {cold_build_s, cold_first_query_s}."""
+    _configure_jax()
+    store, build_s, synth_s = build_10m()
+    import jax.numpy as jnp
+
+    from otters_tpu import Metric
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    t0 = time.perf_counter()
+    r = (
+        store.query_batch(q, Metric.Cosine)
+        .meta_filter(_filter_expr())
+        .take(K, rerank_from=K_WIDE)
+        .collect()
+    )
+    first_q = time.perf_counter() - t0
+    assert len(r) == K
+    print(json.dumps({
+        "cold_build_s": round(build_s, 1),
+        "cold_first_query_s": round(first_q, 1),
+        "cold_synth_s": round(synth_s, 1),
+    }))
+
+
+def run_cold_probe_subprocess():
+    """Spawn the cold probe BEFORE this process touches the TPU (one TPU
+    process at a time). Non-fatal: returns {} on any failure."""
+    import subprocess
+    import tempfile
+
+    env = dict(
+        os.environ,
+        OTTERS_BENCH_COLD="1",
+        OTTERS_AOT_CACHE=tempfile.mkdtemp(prefix="otters_cold_aot_"),
+        OTTERS_AOT_NO_WARM="1",
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cold-probe"],
+            env=env, stdout=subprocess.PIPE, timeout=1800,
+        )
+        lines = [
+            ln for ln in proc.stdout.decode().strip().splitlines() if ln
+        ]
+        if proc.returncode == 0 and lines:
+            out = json.loads(lines[-1])
+            log(f"cold probe: {out}")
+            return out
+    except Exception:
+        import traceback
+
+        log("cold probe failed (non-fatal):\n" + traceback.format_exc())
+    return {}
+
+
+CAT_VOCAB = [f"cat_{v:02d}" for v in range(16)]
+
+
+def _columns(n: int, with_strings: bool = False):
     """price/version clustered per chunk (demo.rs pattern): even chunks
-    expensive v1, odd chunks cheap v3 -> the filter prunes exactly half."""
+    expensive v1, odd chunks cheap v3 -> the filter prunes exactly half.
+    with_strings adds a String (Bloom) category column clustered 16 ways
+    per chunk and a DateTime column — BASELINE config 4's column mix at
+    full 10M scale (round-2 verdict item 2c)."""
     from otters_tpu import Column, DataType
 
     idx = np.arange(n)
-    even = (idx // CHUNK) % 2 == 0
+    chunk_id = idx // CHUNK
+    even = chunk_id % 2 == 0
     price = np.where(even, 80.0 + (idx % 20), 10.0 + (idx % 20)).astype(
         np.float64
     )
     version = np.where(even, 1, 3).astype(np.int32)
-    return [
+    cols = [
         Column("price", DataType.Float64).from_values(price),
         Column("version", DataType.Int32).from_values(version),
-    ], (~even)
+    ]
+    if with_strings:
+        cat_code = chunk_id % 16
+        cat = [CAT_VOCAB[c] for c in cat_code]
+        # epoch millis spanning 2023-2024, clustered by chunk
+        base = 1_672_531_200_000  # 2023-01-01
+        listed = (base + (chunk_id % 730) * 86_400_000).astype(np.int64)
+        cols.append(Column("category", DataType.String).from_values(cat))
+        cols.append(Column("listed", DataType.DateTime).from_values(listed))
+    return cols, (~even)
 
 
 def _filter_expr():
@@ -110,6 +192,40 @@ def row_vectors(start: int, rows: int):
     return _row_vectors_jit(start, rows)
 
 
+_FETCH_PAD = 2048  # fixed jit shape for candidate regeneration: 16 in-flight
+# batches x K_WIDE unique candidates fit one block; bigger blocks fetch
+# megabytes per resolve over the tunnel and dominate the pipeline
+_fetch_jit = None
+
+
+def fetch_vectors_batch(ids):
+    """Regenerate true f32 rows for candidate ids (counter-based RNG): the
+    store's public rerank source (builder.with_rerank_source)."""
+    global _fetch_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _fetch_jit is None:
+
+        @jax.jit
+        def f(idv):
+            base = jax.random.PRNGKey(42)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(idv)
+            return jax.vmap(
+                lambda k: jax.random.normal(k, (D,), jnp.float32)
+            )(keys)
+
+        _fetch_jit = f
+    ids = np.asarray(ids, dtype=np.uint32)
+    out = np.empty((len(ids), D), np.float32)
+    for off in range(0, len(ids), _FETCH_PAD):
+        blk = ids[off : off + _FETCH_PAD]
+        pad = np.zeros(_FETCH_PAD, np.uint32)
+        pad[: len(blk)] = blk
+        out[off : off + len(blk)] = np.asarray(_fetch_jit(pad))[: len(blk)]
+    return out
+
+
 # ---- 10M x 768 int8 + exact f32 re-rank -------------------------------------
 
 
@@ -130,12 +246,16 @@ def build_10m():
     log(f"10M data synthesis + int8 quantization: {ingest:.1f}s "
         f"({dv8.vectors.nbytes / 1e9:.2f} GB HBM)")
 
-    cols, _ = _columns(N10)
+    t0 = time.perf_counter()
+    cols, _ = _columns(N10, with_strings=True)
+    cols_dur = time.perf_counter() - t0
+    log(f"10M column staging (incl 10M-row String + DateTime): {cols_dur:.1f}s")
     t0 = time.perf_counter()
     store = (
         MetaStore.from_columns(cols)
         .with_vectors(dv8, n_rows=N10)
         .with_chunk_size(CHUNK)
+        .with_rerank_source(fetch_vectors=fetch_vectors_batch)
         .build()
     )
     bs = store.build_stats()
@@ -188,8 +308,8 @@ def run_10m(store):
     import jax
     import jax.numpy as jnp
 
-    from otters_tpu import Metric
-    from otters_tpu.evaluate import exact_rerank, recall_at_k
+    from otters_tpu import Metric, col
+    from otters_tpu.evaluate import recall_at_k
     from otters_tpu.meta import resolve
 
     rng = np.random.default_rng(1)
@@ -198,27 +318,32 @@ def run_10m(store):
         for _ in range(TIMED_BATCHES)
     ]
     jax.block_until_ready(batches)
-    expr = _filter_expr()
+    filters = {
+        "filtered": _filter_expr(),
+        "unfiltered": None,
+        "string_eq": col("category").eq(CAT_VOCAB[3]),
+    }
     bi = [0]
 
-    def dispatch(k=K_WIDE):
+    def dispatch(which):
         q = batches[bi[0] % TIMED_BATCHES]
         bi[0] += 1
-        return (
-            store.query_batch(q, Metric.Cosine)
-            .meta_filter(expr)
-            .take(k)
-            .collect_async()
-        )
+        plan = store.query_batch(q, Metric.Cosine)
+        if filters[which] is not None:
+            plan = plan.meta_filter(filters[which])
+        # PUBLIC rerank API (round-2 verdict item 3): the scan widens to
+        # K_WIDE int8 candidates, result() exact-f32-reranks to top-K —
+        # the measured qps is the true end-to-end exact-top-10 rate
+        return plan.take(K, rerank_from=K_WIDE).collect_async()
 
     # warm-up / compile (AOT cache makes reruns near-instant)
     t0 = time.perf_counter()
-    r = dispatch().result()
+    r = dispatch("filtered").result()
     warm = time.perf_counter() - t0
     st = store.last_query_stats()
-    log(f"10M warm-up (compile): {warm:.2f}s, {len(r)} candidates, "
+    log(f"10M warm-up (compile): {warm:.2f}s, {len(r)} results, "
         f"{st.evaluated_chunks}/{st.total_chunks} chunks evaluated")
-    assert len(r) == K_WIDE
+    assert len(r) == K
     # odd-indexed chunks survive: exactly floor(total / 2) of them
     assert st.evaluated_chunks == st.total_chunks // 2, (
         st.evaluated_chunks, st.total_chunks,
@@ -233,23 +358,77 @@ def run_10m(store):
     aot.wait_jit_ready(timeout=420.0)
     log(f"jit warm switch: {time.perf_counter() - t0:.1f}s")
 
-    # pipelined qps (the scan; re-rank cost measured separately below)
-    best = 0.0
-    for round_i in range(3):
-        t0 = time.perf_counter()
-        pending = [dispatch() for _ in range(TIMED_BATCHES)]
-        results = resolve(pending)
-        dt = time.perf_counter() - t0
-        qps = B * TIMED_BATCHES / dt
-        assert all(len(x) == K_WIDE for x in results)
-        log(f"10M pipelined round {round_i}: {TIMED_BATCHES} x {B} q in "
-            f"{dt:.3f}s -> {qps:.1f} q/s")
-        best = max(best, qps)
+    def timed_qps(which, rounds=3):
+        dispatch(which).result()  # compile this variant
+        aot.wait_jit_ready(timeout=420.0)
+        best = 0.0
+        for round_i in range(rounds):
+            t0 = time.perf_counter()
+            pending = [dispatch(which) for _ in range(TIMED_BATCHES)]
+            results = resolve(pending)
+            dt = time.perf_counter() - t0
+            qps = B * TIMED_BATCHES / dt
+            assert all(len(x) == K for x in results)
+            log(f"10M {which} round {round_i}: {TIMED_BATCHES} x {B} q in "
+                f"{dt:.3f}s -> {qps:.1f} q/s")
+            best = max(best, qps)
+        return best
+
+    best = timed_qps("filtered")
+    # scan-only continuity metric (round-2's headline definition: k'=100
+    # candidates, no rerank) so rounds stay comparable
+    qps_scan = None
+    try:
+        bi_s = [0]
+
+        def dispatch_scan():
+            q = batches[bi_s[0] % TIMED_BATCHES]
+            bi_s[0] += 1
+            return (
+                store.query_batch(q, Metric.Cosine)
+                .meta_filter(filters["filtered"])
+                .take(K_WIDE)
+                .collect_async()
+            )
+
+        dispatch_scan().result()
+        aot.wait_jit_ready(timeout=420.0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            results = resolve([dispatch_scan() for _ in range(TIMED_BATCHES)])
+            dt = time.perf_counter() - t0
+            qps_scan = max(qps_scan or 0.0, B * TIMED_BATCHES / dt)
+        log(f"10M scan-only (k'=100, r2 definition): {qps_scan:.1f} q/s")
+    except Exception:
+        import traceback as _tb
+
+        log("scan-only section failed (non-fatal):\n" + _tb.format_exc())
+    qps_unf = qps_str = None
+    try:
+        qps_unf = timed_qps("unfiltered")
+        st = store.last_query_stats()
+        assert st.evaluated_chunks == st.total_chunks
+    except Exception:
+        import traceback as _tb
+
+        log("unfiltered section failed (non-fatal):\n" + _tb.format_exc())
+    try:
+        qps_str = timed_qps("string_eq")
+        st = store.last_query_stats()
+        # category is clustered 16 ways per chunk: 1/16 of chunks survive
+        want = sum(
+            1 for c in range(st.total_chunks) if c % 16 == 3
+        )
+        assert st.evaluated_chunks == want, (st.evaluated_chunks, want)
+        log(f"string-eq prune: {st.evaluated_chunks}/{st.total_chunks}")
+    except Exception:
+        import traceback as _tb
+
+        log("string_eq section failed (non-fatal):\n" + _tb.format_exc())
 
     # wide-batch scaling: B=512 amortizes phase-2/top-k overhead across
-    # twice the queries (choose_tile's combined VMEM bound admits it with
-    # 512-row tiles). Reported in extras; the headline stays the BASELINE
-    # config's 256-query batches.
+    # twice the queries. Reported in extras; the headline stays the
+    # BASELINE config's 256-query batches.
     qps512 = None
     try:
         b512 = [
@@ -264,18 +443,19 @@ def run_10m(store):
             bi512[0] += 1
             return (
                 store.query_batch(q, Metric.Cosine)
-                .meta_filter(expr)
-                .take(K_WIDE)
+                .meta_filter(filters["filtered"])
+                .take(K, rerank_from=K_WIDE)
                 .collect_async()
             )
 
         dispatch512().result()  # compile
+        aot.wait_jit_ready(timeout=420.0)
         for _ in range(3):
             t0 = time.perf_counter()
             results = resolve([dispatch512() for _ in range(8)])
             dt = time.perf_counter() - t0
             q512 = 2 * B * 8 / dt
-            assert all(len(x) == K_WIDE for x in results)
+            assert all(len(x) == K for x in results)
             qps512 = max(qps512 or 0.0, q512)
         log(f"10M wide-batch B={2 * B}: {qps512:.1f} q/s")
     except Exception:
@@ -283,43 +463,37 @@ def run_10m(store):
 
         log("B=512 section failed (non-fatal):\n" + _tb.format_exc())
 
-    # exact re-rank cost + recall@10 vs f32 ground truth (sampled queries);
-    # candidates are batch-regenerated in one vmap (counter-based RNG)
-    def fetch_vectors_batch(ids):
-        import jax as _jax
-        import jax.numpy as _jnp
-
-        ids = np.asarray(ids, dtype=np.uint32)
-        base = _jax.random.PRNGKey(42)
-        keys = _jax.vmap(lambda i: _jax.random.fold_in(base, i))(
-            _jnp.asarray(ids)
-        )
-        return np.asarray(
-            _jax.vmap(lambda k: _jax.random.normal(k, (D,), _jnp.float32))(keys)
-        )
-
+    # recall@10 vs exact f32 ground truth, filtered AND unfiltered, through
+    # the same public API the timed path uses
     q_small = np.asarray(batches[0][:GT_QUERIES])
-    res = (
+    res_f = (
         store.query_batch(q_small, Metric.Cosine)
-        .meta_filter(expr)
-        .take(K_WIDE)
+        .meta_filter(filters["filtered"])
+        .take(K, rerank_from=K_WIDE)
         .collect()
     )
-    got_rows, _ = exact_rerank(  # first call pays the regen-vmap compile
-        q_small, res.indices, fetch_vectors_batch, Metric.Cosine, K
-    )
-    t0 = time.perf_counter()
-    got_rows, _ = exact_rerank(
-        q_small, res.indices, fetch_vectors_batch, Metric.Cosine, K
-    )
-    rerank_dt = time.perf_counter() - t0
     odd_chunks = np.zeros(-(-N10 // CHUNK), dtype=bool)
     odd_chunks[1::2] = True
-    want_rows = ground_truth_10m(q_small, odd_chunks)
-    rec = recall_at_k(want_rows, got_rows)
-    log(f"10M recall@10 after exact re-rank: {rec:.3f} "
-        f"(re-rank {rerank_dt * 1e3:.1f}ms per batch)")
-    return best, warm, rec, qps512
+    want_f = ground_truth_10m(q_small, odd_chunks)
+    rec = recall_at_k(want_f, res_f.indices)
+    log(f"10M filtered recall@10 (public rerank API): {rec:.3f}")
+    rec_unf = None
+    try:
+        res_u = (
+            store.query_batch(q_small, Metric.Cosine)
+            .take(K, rerank_from=K_WIDE)
+            .collect()
+        )
+        want_u = ground_truth_10m(
+            q_small, np.ones(-(-N10 // CHUNK), dtype=bool)
+        )
+        rec_unf = recall_at_k(want_u, res_u.indices)
+        log(f"10M unfiltered recall@10: {rec_unf:.3f}")
+    except Exception:
+        import traceback as _tb
+
+        log("unfiltered recall failed (non-fatal):\n" + _tb.format_exc())
+    return best, warm, rec, qps512, qps_unf, qps_str, rec_unf, qps_scan
 
 
 # ---- f32 configs -------------------------------------------------------------
@@ -433,6 +607,11 @@ def cpu_proxy_qps():
 
 
 def main() -> dict:
+    # cold-cache probe FIRST: it runs in its own process and must not
+    # overlap this one's device use
+    cold = {} if os.environ.get("OTTERS_BENCH_NO_COLD") else (
+        run_cold_probe_subprocess()
+    )
     _configure_jax()
     import gc
     import traceback
@@ -447,11 +626,13 @@ def main() -> dict:
         gc.collect()
 
     store = None
+    qps_unf = qps_str = rec_unf = qps_scan = None
     try:
         if os.environ.get("OTTERS_BENCH_FORCE_FAIL"):  # retry-path test hook
             raise RuntimeError("forced failure (OTTERS_BENCH_FORCE_FAIL)")
         store, build_s, synth_s = build_10m()
-        qps10, warm, rec, qps512 = run_10m(store)
+        (qps10, warm, rec, qps512, qps_unf, qps_str, rec_unf,
+         qps_scan) = run_10m(store)
     except Exception:  # insurance: always emit a JSON line for the driver
         log("10M section failed:\n" + traceback.format_exc())
         qps10 = warm = rec = build_s = qps512 = synth_s = None
@@ -513,9 +694,23 @@ def main() -> dict:
         "vs_baseline": round(qps10 / cpu_32core, 1),
         "extras": {
             "recall_at_10_after_rerank": round(rec, 4),
-            "build_10m_s": round(build_s, 1),
+            "recall_at_10_unfiltered": (
+                None if rec_unf is None else round(rec_unf, 4)
+            ),
+            "qps_10M_unfiltered": (
+                None if qps_unf is None else round(qps_unf, 1)
+            ),
+            "qps_10M_string_eq": (
+                None if qps_str is None else round(qps_str, 1)
+            ),
+            "qps_10M_scan_only_k100": (
+                None if qps_scan is None else round(qps_scan, 1)
+            ),
+            "build_10m_with_strings_s": round(build_s, 1),
             "data_synthesis_10m_s": round(synth_s, 1),
             "warmup_first_query_s": round(warm, 2),
+            "cold_compile_s": cold.get("cold_first_query_s"),
+            "cold_build_s": cold.get("cold_build_s"),
             "qps_10Mx768_B512": None if qps512 is None else round(qps512, 1),
             "qps_4Mx768_f32_exact": None if qps4 is None else round(qps4, 1),
             "qps_1Mx768_f32_exact": None if qps1 is None else round(qps1, 1),
@@ -531,6 +726,9 @@ def main() -> dict:
 if __name__ == "__main__":
     import subprocess
 
+    if "--cold-probe" in sys.argv:
+        cold_probe()
+        sys.exit(0)
     result = main()
     extras = result.get("extras", {})
     unhealthy = "error" in extras or "degraded" in extras

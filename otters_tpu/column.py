@@ -269,6 +269,15 @@ class Column:
             values = list(values)
         else:
             values = list(values)
+            if self._dtype is DataType.String and all(
+                type(v) is str for v in values
+            ):
+                # bulk non-null string append (10M-row ingest would other-
+                # wise pay a per-value push loop); mixed/None lists fall
+                # through to push for the exact reference errors
+                self._data.extend(values)
+                self._null_mask.extend(np.zeros(len(values), dtype=np.bool_))
+                return self
             if (
                 self._dtype is not DataType.String
                 and values

@@ -68,12 +68,17 @@ def exact_rerank(
     else:  # Manhattan
         s = np.abs(q[:, None, :] - v[None, :, :]).sum(axis=2)
     flat = s.reshape(-1)
-    # stable sorts keyed the take direction keep lower-index-first tie order,
-    # matching lax.top_k and the device paths
-    if take_min:
-        order = np.argsort(flat, kind="stable")[:k]
+    # selection keyed by the take direction with lower-index-first tie
+    # order, matching lax.top_k and the device paths; argpartition + a
+    # (key, index) sort of the survivors beats a full stable argsort on the
+    # serving path (this runs per batch inside take(k, rerank_from=...))
+    key = flat if take_min else -flat
+    k_sel = min(k, flat.shape[0])
+    if 0 < k_sel < flat.shape[0] // 4:
+        part = np.argpartition(key, k_sel - 1)[:k_sel]
+        order = part[np.lexsort((part, key[part]))]
     else:
-        order = np.argsort(-flat, kind="stable")[:k]
+        order = np.argsort(key, kind="stable")[:k_sel]
     rows = cand[order % len(cand)]
     return rows.tolist(), flat[order].tolist()
 

@@ -1618,6 +1618,7 @@ class PendingMetaQuery:
         self._score_start = score_start
         self._result: Optional[MetaQueryResults] = None
         self._fetched = None
+        self._rerank_prefetch = None  # set by resolve(): (id->row, matrix)
 
     def _exact_rerank(self, indices):
         """Exact-f32 re-rank of the widened candidate set (the library form
@@ -1632,13 +1633,22 @@ class PendingMetaQuery:
         k_final = plan._take_count
         idx = np.asarray(indices, dtype=np.int64)
         orig = store._index_map[idx] if store._index_map is not None else idx
+        fetch = store._rerank_fetch
+        if self._rerank_prefetch is not None:
+            lookup, mat = self._rerank_prefetch
+
+            def fetch(ids, _lk=lookup, _m=mat, _f=store._rerank_fetch):
+                rows = [_lk.get(int(i)) for i in ids]
+                if all(r is not None for r in rows):
+                    return _m[rows]
+                return _f(ids)  # e.g. a collision redo changed the set
         # re-rank ALL candidates, re-apply the vec_filter on the exact
         # scores, then truncate — a filter that passed on scan scores can
         # fail on exact ones (and vice versa near the threshold)
         rows, scrs = exact_rerank(
             np.asarray(self._queries, dtype=np.float32),
             orig.tolist(),
-            store._rerank_fetch,
+            fetch,
             plan._metric,
             len(orig),
             take_min=(self._take_type is TakeType.Min),
@@ -1785,6 +1795,35 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
     fetched = jax.device_get([p._raw for p in todo])
     for p, f in zip(todo, fetched):
         p._fetched = tuple(f)
+
+    # batched rerank prefetch: ONE fetch_vectors call per store for the
+    # union of every pending query's candidates (per-pending fetches would
+    # pay a device/tunnel roundtrip each)
+    by_store: Dict[int, Tuple[MetaStore, list]] = {}
+    for p in todo:
+        plan = p._plan
+        if (
+            plan._rerank_from is not None
+            and plan._store._rerank_fetch is not None
+        ):
+            by_store.setdefault(id(plan._store), (plan._store, []))[1].append(p)
+    for store, plist in by_store.values():
+        ids: set = set()
+        for p in plist:
+            rows, _, valid = p._fetched[0], p._fetched[1], p._fetched[2]
+            idx = np.asarray(rows)[np.asarray(valid, dtype=bool)].astype(
+                np.int64
+            )
+            if store._index_map is not None:
+                idx = store._index_map[idx]
+            ids.update(idx.tolist())
+        if not ids:
+            continue
+        ids_arr = np.fromiter(ids, dtype=np.int64, count=len(ids))
+        mat = np.asarray(store._rerank_fetch(ids_arr), dtype=np.float32)
+        lookup = {int(i): j for j, i in enumerate(ids_arr)}
+        for p in plist:
+            p._rerank_prefetch = (lookup, mat)
     return [p.result() for p in pendings]
 
 

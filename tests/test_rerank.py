@@ -165,3 +165,41 @@ def test_rerank_error_paths():
             .with_rerank_source(keep_host_f32=True)
             .build()
         )
+
+
+def test_resolve_batches_rerank_fetch_one_call():
+    """resolve() must fetch rerank vectors ONCE for all in-flight queries
+    (per-pending fetches would pay a device roundtrip each)."""
+    from otters_tpu.meta import resolve
+
+    rng = np.random.default_rng(11)
+    n, d = 4_000, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    calls = []
+
+    def fetch(ids):
+        calls.append(len(ids))
+        return vecs[np.asarray(ids, dtype=np.int64)]
+
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(vecs)
+        .with_storage_dtype("int8")
+        .with_rerank_source(fetch_vectors=fetch)
+        .build()
+    )
+    qs = [rng.normal(size=(2, d)).astype(np.float32) for _ in range(4)]
+    pend = [
+        store.query_batch(q, Metric.Cosine).take(5, rerank_from=40).collect_async()
+        for q in qs
+    ]
+    results = resolve(pend)
+    assert len(calls) == 1, calls
+    # equality with the sequential path
+    calls.clear()
+    for q, r in zip(qs, results):
+        want = (
+            store.query_batch(q, Metric.Cosine).take(5, rerank_from=40).collect()
+        )
+        assert r.indices == want.indices
+        np.testing.assert_allclose(r.scores, want.scores, rtol=1e-6)
