@@ -132,3 +132,46 @@ def test_vpu_pruned_scan_sharded():
     want = np.sort(s.reshape(-1))[:6]
     np.testing.assert_allclose(np.asarray(r.scores), want, rtol=2e-4, atol=2e-4)
     assert all(price[i] < 10.0 for i in r.indices)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_vpu_pruned_scan_fuzz(trial):
+    """Mini-fuzz of the pruned-scan route at route-triggering scale
+    (the main differential fuzz pool runs at n<=800, below the
+    4*SCAN_TILE threshold): random thresholds/k per trial, exact oracle."""
+    rng = np.random.default_rng(100 + trial)
+    metric = [Metric.Manhattan, Metric.Hamming, Metric.Jaccard][trial % 3]
+    n, d, chunk = 32_768, 8, 1024
+    if metric is Metric.Hamming:
+        vecs = rng.integers(0, 4, size=(n, d)).astype(np.float32)
+        qs = rng.integers(0, 4, size=(2, d)).astype(np.float32)
+    else:
+        vecs = np.abs(rng.normal(size=(n, d))).astype(np.float32)
+        qs = np.abs(rng.normal(size=(2, d))).astype(np.float32)
+    base = (np.arange(n) // chunk % 4) * 10.0
+    price = base + rng.uniform(0, 5, n)
+    store = (
+        MetaStore.from_columns(
+            [Column("price", DataType.Float64).from_values(price)]
+        )
+        .with_vectors(vecs)
+        .with_chunk_size(chunk)
+        .build()
+    )
+    thr = float(rng.uniform(5, 35))
+    expr = col("price").lt(thr) if trial % 2 == 0 else col("price").gt(thr)
+    k = int(rng.integers(1, 33))
+    r = store.query_batch(qs, metric).meta_filter(expr).take(k).collect()
+    mask = (price < thr) if trial % 2 == 0 else (price > thr)
+    s = _oracle(qs.astype(np.float64), vecs.astype(np.float64), metric, mask)
+    flat = s.reshape(-1)
+    if metric is Metric.Jaccard:
+        want = np.sort(flat)[::-1][:k]
+    else:
+        want = np.sort(flat)[:k]
+    want = want[np.isfinite(want)]
+    assert len(r) == len(want)
+    np.testing.assert_allclose(
+        np.asarray(r.scores), want, rtol=2e-4, atol=2e-4
+    )
+    assert all(mask[i] for i in r.indices)
