@@ -217,6 +217,12 @@ def fetch_vectors_batch(ids):
 
         _fetch_jit = f
     ids = np.asarray(ids, dtype=np.uint32)
+    if len(ids) <= _FETCH_PAD:
+        pad = np.zeros(_FETCH_PAD, np.uint32)
+        pad[: len(ids)] = ids
+        # returned ON DEVICE: resolve()'s batched device rerank consumes it
+        # without ever fetching the candidate matrix to the host
+        return _fetch_jit(pad)[: len(ids)]
     out = np.empty((len(ids), D), np.float32)
     for off in range(0, len(ids), _FETCH_PAD):
         blk = ids[off : off + _FETCH_PAD]

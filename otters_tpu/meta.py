@@ -428,6 +428,130 @@ def jnp_int32(x):
 _meta_query_program = _jit_meta_program()
 
 
+def _jit_rerank_program():
+    import jax
+
+    @partial(jax.jit, static_argnames=("metric", "k", "take_min", "cmp"))
+    def rerank_program(q, v, valid_m, thr, *, metric, k, take_min, cmp):
+        """Batched exact-f32 re-rank on device: P in-flight queries' widened
+        candidate sets scored and top-k'd in ONE dispatch (resolve() fetches
+        only [P, k] winners — the host matmul + megabyte candidate fetch per
+        batch otherwise dominates pipelined serving).
+
+        q [P, B, D] queries; v [P, M, D] candidate vectors (padded);
+        valid_m [P, M] marks real candidate slots. Exact per the rerank
+        contract: f32 at HIGHEST precision, same formulas as
+        evaluate.exact_rerank, ties lower-flat-index-first."""
+        import jax.numpy as jnp
+
+        q = q.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+        dots = jnp.einsum(
+            "pbd,pmd->pbm", q, v, precision=jax.lax.Precision.HIGHEST
+        )
+        if metric is Metric.Cosine:
+            qn = jnp.sqrt((q * q).sum(-1))
+            vn = jnp.sqrt((v * v).sum(-1))
+            qi = jnp.where(qn > 0, 1.0 / jnp.where(qn > 0, qn, 1.0), 0.0)
+            vi = jnp.where(vn > 0, 1.0 / jnp.where(vn > 0, vn, 1.0), 0.0)
+            s = dots * qi[:, :, None] * vi[:, None, :]
+        elif metric is Metric.Euclidean:
+            s = (
+                (q * q).sum(-1)[:, :, None]
+                + (v * v).sum(-1)[:, None, :]
+                - 2.0 * dots
+            )
+        else:  # DotProduct
+            s = dots
+        ok = valid_m[:, None, :] & ~jnp.isnan(s)
+        if cmp is not None:
+            ok = ok & scoring._filter_ok(s, thr, cmp)
+        key = jnp.where(ok, s, jnp.inf if take_min else -jnp.inf)
+        if take_min:
+            key = -key
+        P, B, M = key.shape
+        flat = key.reshape(P, B * M)
+        _, sel = jax.lax.top_k(flat, k)
+        out_s = jnp.take_along_axis(s.reshape(P, B * M), sel, axis=1)
+        out_ok = jnp.take_along_axis(ok.reshape(P, B * M), sel, axis=1)
+        return (sel % M).astype(np.int32), out_s, out_ok
+
+    return rerank_program
+
+
+_rerank_program = _jit_rerank_program()
+
+
+def _device_rerank_group(store: "MetaStore", plist) -> bool:
+    """Run ONE device rerank for a group of compatible pendings (same
+    store/batch shape/metric/filter/k). Returns False -> host fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    plan0 = plist[0]._plan
+    metric = plan0._metric
+    if metric in VPU_METRICS:
+        return False  # [P,B,M,D] broadcast would blow memory; host path
+    k_final = plan0._take_count
+    take_min = plist[0]._take_type is TakeType.Min
+    cands = []
+    for p in plist:
+        rows, _, valid = p._fetched[0], p._fetched[1], p._fetched[2]
+        idx = np.asarray(rows)[np.asarray(valid, dtype=bool)].astype(np.int64)
+        if store._index_map is not None:
+            idx = store._index_map[idx]
+        cand = np.fromiter(
+            dict.fromkeys(idx.tolist()), dtype=np.int64, count=-1
+        )
+        if cand.size == 0:
+            return False
+        cands.append(cand)
+    M = max(len(c) for c in cands)
+    M = max(8, 1 << (M - 1).bit_length())  # few distinct compiled shapes
+    union: Dict[int, int] = {}
+    for cand in cands:
+        for i in cand.tolist():
+            if i not in union:
+                union[i] = len(union)
+    ids_arr = np.fromiter(union.keys(), dtype=np.int64, count=len(union))
+    vecs = store._rerank_fetch(ids_arr)
+    P = len(plist)
+    pos = np.zeros((P, M), dtype=np.int32)
+    valid_m = np.zeros((P, M), dtype=bool)
+    for j, cand in enumerate(cands):
+        pos[j, : len(cand)] = [union[i] for i in cand.tolist()]
+        valid_m[j, : len(cand)] = True
+    v = jnp.take(jnp.asarray(vecs), jnp.asarray(pos), axis=0)  # [P, M, D]
+    qs = jnp.stack(
+        [jnp.asarray(p._queries, dtype=jnp.float32) for p in plist]
+    )
+    thr, cmp = (
+        (0.0, None) if plan0._vec_filter is None else plan0._vec_filter
+    )
+    b = qs.shape[1]
+    m_idx, out_s, out_ok = jax.device_get(
+        _rerank_program(
+            qs,
+            v,
+            jnp.asarray(valid_m),
+            jnp.float32(thr),
+            metric=metric,
+            k=min(k_final, b * M),
+            take_min=take_min,
+            cmp=cmp,
+        )
+    )
+    for p, cand, mi, so, oo in zip(plist, cands, m_idx, out_s, out_ok):
+        oo = np.asarray(oo, dtype=bool)
+        rows_orig = cand[np.asarray(mi)[oo]]
+        p._device_rerank = (
+            frozenset(cand.tolist()),
+            rows_orig.tolist(),
+            np.asarray(so)[oo].tolist(),
+        )
+    return True
+
+
 def _jit_mask_program():
     import jax
 
@@ -483,7 +607,10 @@ class MetaStoreBuilder:
 
         Exactly one of:
         - ``fetch_vectors(indices) -> [m, d] float32`` — called with
-          ORIGINAL ingestion-order row ids (host store, disk, regeneration);
+          ORIGINAL ingestion-order row ids (host store, disk, regeneration).
+          May return a device ``jax.Array``: ``resolve()``'s batched device
+          rerank then scores candidates without ever fetching them to the
+          host;
         - ``keep_host_f32=True`` — keep the ingested f32 rows host-side
           (costs n*d*4 bytes of host RAM; unavailable for pre-built
           DeviceVecs, whose f32 form never existed).
@@ -1619,6 +1746,7 @@ class PendingMetaQuery:
         self._result: Optional[MetaQueryResults] = None
         self._fetched = None
         self._rerank_prefetch = None  # set by resolve(): (id->row, matrix)
+        self._device_rerank = None  # set by resolve(): (cand set, rows, scores)
 
     def _exact_rerank(self, indices):
         """Exact-f32 re-rank of the widened candidate set (the library form
@@ -1736,7 +1864,30 @@ class PendingMetaQuery:
                     scores = np.asarray(scrs)[ok_np].tolist()
 
             if plan._rerank_from is not None and indices:
-                indices, scores = self._exact_rerank(indices)
+                done = False
+                dr = self._device_rerank
+                if dr is not None:
+                    idx0 = np.asarray(indices, dtype=np.int64)
+                    orig0 = (
+                        store._index_map[idx0]
+                        if store._index_map is not None
+                        else idx0
+                    )
+                    # the device rerank was computed from the raw candidate
+                    # set at resolve() time; a strict/collision redo above
+                    # may have changed it — only trust a matching set
+                    if frozenset(orig0.tolist()) == dr[0]:
+                        rows_orig = np.asarray(dr[1], dtype=np.int64)
+                        scores = list(dr[2])
+                        if store._index_map is not None:
+                            inv = np.empty(store.n_rows, dtype=np.int64)
+                            inv[store._index_map] = np.arange(store.n_rows)
+                            indices = inv[rows_orig].tolist()
+                        else:
+                            indices = rows_orig.tolist()
+                        done = True
+                if not done:
+                    indices, scores = self._exact_rerank(indices)
         score_dur = time.perf_counter() - self._score_start
 
         # ---- merge phase: result-column materialization (host) ----
@@ -1796,18 +1947,33 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
     for p, f in zip(todo, fetched):
         p._fetched = tuple(f)
 
-    # batched rerank prefetch: ONE fetch_vectors call per store for the
-    # union of every pending query's candidates (per-pending fetches would
-    # pay a device/tunnel roundtrip each)
-    by_store: Dict[int, Tuple[MetaStore, list]] = {}
+    # batched rerank: pendings group by compatible shape/plan signature;
+    # each group first tries ONE device program scoring every member's
+    # candidates in a single dispatch (+ one tiny fetch), falling back to a
+    # single union fetch_vectors prefetch + host math (per-pending fetches
+    # would pay a device/tunnel roundtrip each)
+    by_group: Dict[tuple, Tuple[MetaStore, list]] = {}
     for p in todo:
         plan = p._plan
         if (
             plan._rerank_from is not None
             and plan._store._rerank_fetch is not None
         ):
-            by_store.setdefault(id(plan._store), (plan._store, []))[1].append(p)
-    for store, plist in by_store.values():
+            gkey = (
+                id(plan._store),
+                tuple(np.shape(p._queries)),
+                plan._metric,
+                p._take_type,
+                plan._vec_filter,
+                plan._take_count,
+            )
+            by_group.setdefault(gkey, (plan._store, []))[1].append(p)
+    for store, plist in by_group.values():
+        try:
+            if _device_rerank_group(store, plist):
+                continue
+        except Exception:
+            pass  # host fallback below
         ids: set = set()
         for p in plist:
             rows, _, valid = p._fetched[0], p._fetched[1], p._fetched[2]

@@ -203,3 +203,99 @@ def test_resolve_batches_rerank_fetch_one_call():
         )
         assert r.indices == want.indices
         np.testing.assert_allclose(r.scores, want.scores, rtol=1e-6)
+
+
+def test_resolve_device_rerank_engages_and_matches_host():
+    """The batched device rerank runs for compatible groups (one dispatch
+    per resolve) and agrees with the host exact_rerank path."""
+    from otters_tpu.meta import resolve
+
+    rng = np.random.default_rng(13)
+    n, d = 6_000, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(vecs)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    qs = [rng.normal(size=(3, d)).astype(np.float32) for _ in range(5)]
+    pend = [
+        store.query_batch(q, Metric.Cosine).take(7, rerank_from=50).collect_async()
+        for q in qs
+    ]
+    results = resolve(pend)
+    assert all(p._device_rerank is not None for p in pend)
+    for q, r in zip(qs, results):
+        want = (
+            store.query_batch(q, Metric.Cosine).take(7, rerank_from=50).collect()
+        )
+        assert r.indices == want.indices
+        np.testing.assert_allclose(r.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_resolve_device_rerank_vpu_metric_falls_back():
+    """VPU metrics (no batched matmul form) use the host prefetch path."""
+    from otters_tpu.meta import resolve
+
+    rng = np.random.default_rng(14)
+    n, d = 3_000, 16
+    vecs = np.abs(rng.normal(size=(n, d))).astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(vecs)
+        .with_storage_dtype("bfloat16")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    qs = [np.abs(rng.normal(size=(2, d))).astype(np.float32) for _ in range(3)]
+    pend = [
+        store.query_batch(q, Metric.Manhattan)
+        .take(4, rerank_from=32)
+        .collect_async()
+        for q in qs
+    ]
+    results = resolve(pend)
+    assert all(p._device_rerank is None for p in pend)
+    assert all(p._rerank_prefetch is not None for p in pend)
+    for q, r in zip(qs, results):
+        want = (
+            store.query_batch(q, Metric.Manhattan)
+            .take(4, rerank_from=32)
+            .collect()
+        )
+        assert r.indices == want.indices
+        np.testing.assert_allclose(r.scores, want.scores, rtol=1e-4, atol=1e-4)
+
+
+def test_resolve_device_rerank_with_vec_filter_and_zorder():
+    from otters_tpu.meta import resolve
+
+    vecs, cols = synthetic_catalog(8_000, 32, seed=9)
+    store = (
+        MetaStore.from_columns(list(cols.values()))
+        .with_vectors(vecs)
+        .with_chunk_size(256)
+        .with_storage_dtype("int8")
+        .with_z_order(["category", "price"])
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    rng = np.random.default_rng(15)
+    qs = [
+        (vecs[i] + 0.05 * rng.normal(size=(32,))).astype(np.float32)[None, :]
+        for i in range(4)
+    ]
+    mk = lambda q: (
+        store.query_batch(q, Metric.Cosine)
+        .meta_filter(col("category").eq("electronics"))
+        .vec_filter(0.2, Cmp.Gt)
+        .take(5, rerank_from=64)
+    )
+    results = resolve([mk(q).collect_async() for q in qs])
+    for q, r in zip(qs, results):
+        want = mk(q).collect()
+        assert r.indices == want.indices
+        np.testing.assert_allclose(r.scores, want.scores, rtol=1e-5, atol=1e-6)
+        assert all(s > 0.2 for s in r.scores)
