@@ -1821,6 +1821,9 @@ class PendingMetaQuery:
                 rows, scrs, valid, _, ev, re_ = jax.device_get(
                     self._strict_redo()
                 )
+            # keep the final raw values around: the single-pending device
+            # rerank below reads them (resolve() pre-sets them for groups)
+            self._fetched = (rows, scrs, valid, check, ev, re_)
             evaluated = int(ev)
             rows_eval = int(re_)
             ok_np = np.asarray(valid, dtype=bool)
@@ -1862,9 +1865,22 @@ class PendingMetaQuery:
                     ok_np = np.asarray(valid, dtype=bool)
                     indices = np.asarray(rows)[ok_np].astype(np.int64).tolist()
                     scores = np.asarray(scrs)[ok_np].tolist()
+                    self._fetched = (rows, scrs, valid, check, ev, re_)
 
             if plan._rerank_from is not None and indices:
                 done = False
+                if (
+                    self._device_rerank is None
+                    and plan._metric not in VPU_METRICS
+                    and store._rerank_fetch is not None
+                ):
+                    # plain collect(): run the same device rerank as a
+                    # group of one (fetched values were stored above, post
+                    # any strict redo, so the set guard always matches)
+                    try:
+                        _device_rerank_group(store, [self])
+                    except Exception:
+                        pass  # host fallback below
                 dr = self._device_rerank
                 if dr is not None:
                     idx0 = np.asarray(indices, dtype=np.int64)
