@@ -432,20 +432,22 @@ def _jit_rerank_program():
     import jax
 
     @partial(jax.jit, static_argnames=("metric", "k", "take_min", "cmp"))
-    def rerank_program(q, v, valid_m, thr, *, metric, k, take_min, cmp):
+    def rerank_program(qs, vecs, pos, valid_m, thr, *, metric, k, take_min, cmp):
         """Batched exact-f32 re-rank on device: P in-flight queries' widened
         candidate sets scored and top-k'd in ONE dispatch (resolve() fetches
         only [P, k] winners — the host matmul + megabyte candidate fetch per
         batch otherwise dominates pipelined serving).
 
-        q [P, B, D] queries; v [P, M, D] candidate vectors (padded);
-        valid_m [P, M] marks real candidate slots. Exact per the rerank
-        contract: f32 at HIGHEST precision, same formulas as
-        evaluate.exact_rerank, ties lower-flat-index-first."""
+        qs: P-tuple of [B, D] query arrays (stacked in-program so the whole
+        rerank is one dispatch); vecs [U, D] union candidate vectors;
+        pos [P, M] positions into vecs (padded); valid_m [P, M] marks real
+        candidate slots. Exact per the rerank contract: f32 at HIGHEST
+        precision, same formulas as evaluate.exact_rerank, ties
+        lower-flat-index-first."""
         import jax.numpy as jnp
 
-        q = q.astype(jnp.float32)
-        v = v.astype(jnp.float32)
+        q = jnp.stack([x.astype(jnp.float32) for x in qs])
+        v = jnp.take(vecs.astype(jnp.float32), pos, axis=0)  # [P, M, D]
         dots = jnp.einsum(
             "pbd,pmd->pbm", q, v, precision=jax.lax.Precision.HIGHEST
         )
@@ -514,25 +516,28 @@ def _device_rerank_group(store: "MetaStore", plist) -> bool:
             if i not in union:
                 union[i] = len(union)
     ids_arr = np.fromiter(union.keys(), dtype=np.int64, count=len(union))
-    vecs = store._rerank_fetch(ids_arr)
+    # pad the union to a power of two (repeat a real id) so the program
+    # compiles for a handful of shapes, not one per candidate count
+    u_pad = max(64, 1 << (len(ids_arr) - 1).bit_length())
+    ids_padded = np.full(u_pad, ids_arr[0], dtype=np.int64)
+    ids_padded[: len(ids_arr)] = ids_arr
+    vecs = store._rerank_fetch(ids_padded)
     P = len(plist)
     pos = np.zeros((P, M), dtype=np.int32)
     valid_m = np.zeros((P, M), dtype=bool)
     for j, cand in enumerate(cands):
         pos[j, : len(cand)] = [union[i] for i in cand.tolist()]
         valid_m[j, : len(cand)] = True
-    v = jnp.take(jnp.asarray(vecs), jnp.asarray(pos), axis=0)  # [P, M, D]
-    qs = jnp.stack(
-        [jnp.asarray(p._queries, dtype=jnp.float32) for p in plist]
-    )
+    qs = tuple(jnp.asarray(p._queries, dtype=jnp.float32) for p in plist)
     thr, cmp = (
         (0.0, None) if plan0._vec_filter is None else plan0._vec_filter
     )
-    b = qs.shape[1]
+    b = qs[0].shape[0]
     m_idx, out_s, out_ok = jax.device_get(
         _rerank_program(
             qs,
-            v,
+            jnp.asarray(vecs),
+            jnp.asarray(pos),
             jnp.asarray(valid_m),
             jnp.float32(thr),
             metric=metric,
