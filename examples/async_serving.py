@@ -65,6 +65,43 @@ def main() -> None:
     print(f"sample top hit: {results[0].indices[0]} "
           f"(category={results[0].column('category').string_values()[0]})")
 
+    # --- quantized storage + exact re-rank, still pipelined -----------------
+    # int8 HBM storage (quarter the memory) with take(k, rerank_from=k'):
+    # resolve() re-scores EVERY in-flight batch's widened candidates in one
+    # device program, so exactness costs one extra dispatch per pipeline,
+    # not one per batch.
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    store8 = (
+        MetaStore.from_columns(
+            [
+                Column("score", DataType.Float32).from_values(
+                    list(rng.uniform(0, 1, n).astype(np.float32))
+                ),
+            ]
+        )
+        .with_vectors(vecs)
+        .with_chunk_size(1024)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+
+    def dispatch8():
+        q = rng.normal(size=(b, d)).astype(np.float32)
+        return (
+            store8.query_batch(q, Metric.Cosine)
+            .meta_filter(col("score").gt(0.25))
+            .take(10, rerank_from=100)
+            .collect_async()
+        )
+
+    dispatch8().result()
+    t0 = time.perf_counter()
+    results8 = resolve([dispatch8() for _ in range(n_batches)])
+    pipe8 = time.perf_counter() - t0
+    print(f"int8 + exact rerank, pipelined: {total_q / pipe8:,.0f} q/s "
+          f"({len(results8[0])} exact-top-10 results per batch)")
+
 
 if __name__ == "__main__":
     main()
