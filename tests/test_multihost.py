@@ -98,3 +98,99 @@ def test_two_process_distributed_search():
             )
         assert rc == 0, f"proc {pid} failed:\n{out}\n{err[-3000:]}"
         assert f"proc {pid} OK" in out
+
+
+_META_WORKER = r"""
+import os, sys
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from otters_tpu import Column, DataType, Metric, MetaStore, col
+from otters_tpu.parallel import init_distributed, make_mesh
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+init_distributed(coordinator_address=coord, num_processes=2, process_id=pid)
+n_dev = len(jax.devices())
+mesh = make_mesh(rows=n_dev, batch=1)
+
+rng = np.random.default_rng(1)  # same data on every process
+n, d, chunk, k = 2048, 16, 256, 6
+vectors = rng.normal(size=(n, d)).astype(np.float32)
+price = ((np.arange(n) // chunk) % 2 * 50.0 + np.arange(n) % 10).astype(
+    np.float64
+)
+tag = ["blue" if (i // chunk) % 4 == 0 else "red" for i in range(n)]
+cols = [
+    Column("price", DataType.Float64).from_values(price),
+    Column("tag", DataType.String).from_values(tag),
+]
+store = (
+    MetaStore.from_columns(cols)
+    .with_vectors(vectors)
+    .with_chunk_size(chunk)
+    .build_sharded(mesh)   # DIRECT per-shard placement across BOTH processes
+)
+queries = rng.normal(size=(2, d)).astype(np.float32)
+r = (
+    store.query_batch(queries, Metric.Cosine)
+    .meta_filter(col("price").lt(10.0) & col("tag").eq("blue"))
+    .take(k)
+    .collect()
+)
+mask = (price < 10.0) & np.array([t == "blue" for t in tag])
+qi = 1 / np.linalg.norm(queries, axis=1)
+vi = 1 / np.linalg.norm(vectors, axis=1)
+s = (queries @ vectors.T) * qi[:, None] * vi[None, :]
+s[:, ~mask] = -np.inf
+flat = s.reshape(-1)
+order = np.argsort(-flat, kind="stable")[:k]
+want_rows = (order % n).tolist()
+assert r.indices == want_rows, (r.indices, want_rows)
+np.testing.assert_allclose(r.scores, flat[order], rtol=1e-5, atol=1e-6)
+st = store.last_query_stats()
+assert st.evaluated_chunks == (n // chunk) // 4, st.evaluated_chunks
+print(f"proc {pid} OK", flush=True)
+"""
+
+
+def test_two_process_build_sharded_metastore():
+    """Round-3: the DIRECT sharded build + full meta query (zonemaps, Bloom,
+    psum stats, all-gather merge) across two OS processes."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _META_WORKER, coord, str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        if rc != 0 and (
+            "UNIMPLEMENTED" in err or "not supported" in err.lower()
+        ):
+            pytest.skip(
+                f"multi-process CPU collectives unsupported here: "
+                f"{err.splitlines()[-1] if err else rc}"
+            )
+        assert rc == 0, f"proc {pid} failed:\n{out}\n{err[-3000:]}"
+        assert f"proc {pid} OK" in out
