@@ -299,3 +299,38 @@ def test_resolve_device_rerank_with_vec_filter_and_zorder():
         assert r.indices == want.indices
         np.testing.assert_allclose(r.scores, want.scores, rtol=1e-5, atol=1e-6)
         assert all(s > 0.2 for s in r.scores)
+
+
+def test_resolve_mixed_groups_in_one_call():
+    """One resolve() with heterogeneous plans: different k/rerank widths,
+    filtered and unfiltered, plus a no-rerank plan — groups split correctly
+    and every result matches its sequential counterpart."""
+    from otters_tpu.meta import resolve
+
+    vecs, cols = synthetic_catalog(6_000, 16, seed=21)
+    store = (
+        MetaStore.from_columns(list(cols.values()))
+        .with_vectors(vecs)
+        .with_chunk_size(256)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    rng = np.random.default_rng(22)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    makers = [
+        lambda: store.query_batch(q, Metric.Cosine).take(5, rerank_from=40),
+        lambda: store.query_batch(q, Metric.Cosine).take(9, rerank_from=64),
+        lambda: (
+            store.query_batch(q, Metric.Cosine)
+            .meta_filter(col("category").eq("electronics"))
+            .take(5, rerank_from=40)
+        ),
+        lambda: store.query_batch(q, Metric.Cosine).take(5),  # no rerank
+        lambda: store.query_batch(q, Metric.Cosine).take(5, rerank_from=40),
+    ]
+    results = resolve([m().collect_async() for m in makers])
+    for m, r in zip(makers, results):
+        want = m().collect()
+        assert r.indices == want.indices
+        np.testing.assert_allclose(r.scores, want.scores, rtol=1e-5, atol=1e-6)
