@@ -397,6 +397,16 @@ class ShardedMetaStore(MetaStore):
                 "int8 quantized storage supports the Cosine metric only"
             )
         b = queries.shape[0]
+        if min(k, b * self._dv.vectors.shape[0]) > scoring.SCAN_K_MAX:
+            # take-all on a sharded store would all-gather O(n) score/index
+            # pairs onto EVERY device — the single-device windowed path
+            # exists for that regime
+            raise OttersError(
+                f"take({k}) on a sharded store would gather "
+                f"~{k} results per device; use take(k <= "
+                f"{scoring.SCAN_K_MAX}) or run take-all on a single-device "
+                "store (windowed host collection)"
+            )
         n_batch = self.mesh.shape["batch"]
         b_pad = max(n_batch, -(-b // n_batch) * n_batch)
         q_host = np.zeros((b_pad, queries.shape[1]), dtype=np.float32)

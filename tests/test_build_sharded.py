@@ -249,3 +249,21 @@ def test_build_sharded_error_paths():
     with pytest.raises(OttersError, match="immutable"):
         store.append(vecs[:1], {})
     assert isinstance(store, ShardedMetaStore)
+
+
+def test_sharded_take_all_guard():
+    """Take-all on a sharded store raises a clear error instead of
+    all-gathering O(n) results onto every device."""
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(4096, 8)).astype(np.float32)
+    mesh = make_mesh(rows=4, batch=2)
+    store = MetaStore.from_columns([]).with_vectors(vecs).build_sharded(mesh)
+    from otters_tpu.ops import scoring
+
+    qs = rng.normal(size=(64, 8)).astype(np.float32)  # b*n_pad > SCAN_K_MAX
+    plan = store.query_batch(qs, Metric.Cosine).take(scoring.SCAN_K_MAX + 1)
+    with pytest.raises(OttersError, match="sharded store"):
+        plan.collect()
+    # normal k still fine (k_eff capped by b*n_pad stays under the bound)
+    r = store.query(vecs[0], Metric.Cosine).take(5).collect()
+    assert len(r) == 5
