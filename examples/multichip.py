@@ -27,7 +27,11 @@ def main() -> None:
     print(f"mesh: {dict(mesh.shape)} over {n_dev} x {jax.devices()[0].device_kind}")
 
     rng = np.random.default_rng(0)
-    local = (
+    # DIRECT sharded build (round 3): every array is placed straight into
+    # per-shard HBM — the store never exists on one device, so capacity
+    # scales with the mesh. (ShardedMetaStore.shard(local, mesh) still
+    # re-shards an existing single-device store.)
+    store = (
         MetaStore.from_columns(
             [
                 Column("price", DataType.Float64).from_values(
@@ -37,9 +41,9 @@ def main() -> None:
         )
         .with_vectors(rng.normal(size=(n, d)).astype(np.float32))
         .with_chunk_size(1024)
-        .build()
+        .build_sharded(mesh)
     )
-    store = ShardedMetaStore.shard(local, mesh)
+    assert isinstance(store, ShardedMetaStore)
 
     queries = rng.normal(size=(8, d)).astype(np.float32)
     results = (
