@@ -109,3 +109,52 @@ def builder_from_parquet(path: str, vectors, exclude=()) -> MetaStoreBuilder:
     import pyarrow.parquet as pq
 
     return builder_from_arrow(pq.read_table(path), vectors, exclude)
+
+
+def results_to_pandas(results):
+    """MetaQueryResults -> pandas DataFrame (index, score, metadata columns).
+
+    Null handling mirrors the store: nullable pandas dtypes for ints/bools,
+    NaN for floats, None for strings, NaT for datetimes.
+    """
+    import pandas as pd
+
+    out = {"index": results.indices, "score": results.scores}
+    for name in results.columns:
+        c = results.data[name]
+        nulls = np.asarray(c.null_mask(), dtype=bool)
+        if c.dtype is DataType.String:
+            vals = c.values()
+            out[name] = [
+                None if nulls[i] else vals[i] for i in range(len(results))
+            ]
+        elif c.dtype is DataType.DateTime:
+            s = pd.to_datetime(
+                pd.Series(np.asarray(c.values(), dtype=np.int64)), unit="ms"
+            )
+            out[name] = s.mask(nulls)
+        elif c.dtype is DataType.Bool:
+            arr = pd.array(
+                np.asarray(c.values(), dtype=bool), dtype="boolean"
+            )
+            arr[nulls] = pd.NA
+            out[name] = arr
+        elif c.dtype in (DataType.Int32, DataType.Int64):
+            pd_dtype = "Int32" if c.dtype is DataType.Int32 else "Int64"
+            arr = pd.array(np.asarray(c.values()), dtype=pd_dtype)
+            arr[nulls] = pd.NA
+            out[name] = arr
+        else:  # Float32 / Float64
+            vals = np.asarray(c.values(), dtype=np.float64).copy()
+            vals[nulls] = np.nan
+            out[name] = vals
+    return pd.DataFrame(out)
+
+
+def results_to_arrow(results):
+    """MetaQueryResults -> pyarrow.Table (via the pandas conversion)."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(
+        results_to_pandas(results), preserve_index=False
+    )

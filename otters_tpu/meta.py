@@ -126,6 +126,19 @@ class MetaQueryResults:
     def __repr__(self) -> str:
         return str(self)
 
+    def to_pandas(self):
+        """-> pandas DataFrame (index, score, metadata columns; nullable
+        dtypes for nulls). See otters_tpu.adapters.results_to_pandas."""
+        from .adapters import results_to_pandas
+
+        return results_to_pandas(self)
+
+    def to_arrow(self):
+        """-> pyarrow.Table. See otters_tpu.adapters.results_to_arrow."""
+        from .adapters import results_to_arrow
+
+        return results_to_arrow(self)
+
 
 # ---------------------------------------------------------------------------
 # Device state construction
@@ -1309,14 +1322,24 @@ class MetaStore:
         k: int = 10,
         metric: Metric = Metric.Cosine,
         with_vec_filter: bool = False,
+        rerank_from: Optional[int] = None,
+        pipeline_depths=(1,),
     ) -> int:
         """Ready (compile or AOT-load) the device programs a deployment
         serves, off the query path. ``filters`` is a list of expressions
         (None = unfiltered); each is combined with every batch size. The
         first process pays the compiles and persists serialized executables
         (~MBs) to the AOT disk cache; subsequent processes deserialize in
-        well under a second. Returns the number of programs readied."""
-        count = 0
+        well under a second. Returns the number of programs readied.
+
+        ``rerank_from`` additionally warms the exact-rerank flow (the
+        widened scan AND the batched device rerank program) for each
+        pipeline depth in ``pipeline_depths`` — resolve() groups that many
+        in-flight queries, and each distinct group size is its own compiled
+        shape."""
+        count = self._precompile_rerank(
+            filters, batch_sizes, k, metric, rerank_from, pipeline_depths
+        )
         for expr in filters if filters is not None else [None]:
             for b in batch_sizes:
                 plan = MetaQueryPlan(
@@ -1352,6 +1375,36 @@ class MetaStore:
 
                     jax.block_until_ready(compiled(*args))
                     count += 1
+        return count
+
+    def _precompile_rerank(
+        self, filters, batch_sizes, k, metric, rerank_from, pipeline_depths
+    ) -> int:
+        """Warm the rerank flow (shared by MetaStore and ShardedMetaStore
+        precompile): one resolve() per (filter, batch size, depth)."""
+        if rerank_from is None:
+            return 0
+        if self._rerank_fetch is None:
+            raise OttersError(
+                "precompile(rerank_from=...) requires with_rerank_source on "
+                "the builder"
+            )
+        count = 0
+        for expr in filters if filters is not None else [None]:
+            for b in batch_sizes:
+                for depth in pipeline_depths:
+                    pend = []
+                    for _ in range(int(depth)):
+                        plan = self.query_batch(
+                            np.zeros((int(b), self._dim), np.float32), metric
+                        ).take(k, rerank_from=rerank_from)
+                        if expr is not None:
+                            plan.meta_filter(expr)
+                            if plan._meta_error is not None:
+                                raise OttersError(plan._meta_error)
+                        pend.append(plan.collect_async())
+                    resolve(pend)
+                    count += int(depth)
         return count
 
     # -- query ---------------------------------------------------------------

@@ -353,6 +353,8 @@ class ShardedMetaStore(MetaStore):
         k: int = 10,
         metric: Metric = Metric.Cosine,
         with_vec_filter: bool = False,
+        rerank_from=None,
+        pipeline_depths=(1,),
     ) -> int:
         """Ready the SPMD program for each signature by running one query
         through the real sharded path. Round-3: these now route through the
@@ -363,7 +365,9 @@ class ShardedMetaStore(MetaStore):
         from .. import aot
         from ..types import Cmp, TakeType, default_take_type
 
-        count = 0
+        count = self._precompile_rerank(
+            filters, batch_sizes, k, metric, rerank_from, pipeline_depths
+        )
         take_min = default_take_type(metric) is TakeType.Min
         for expr in filters if filters is not None else [None]:
             for b in batch_sizes:

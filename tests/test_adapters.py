@@ -78,3 +78,60 @@ def test_builder_from_parquet(df, tmp_path):
 def test_length_mismatch(df):
     with pytest.raises(Exception, match="does not match vectors length"):
         builder_from_pandas(df, np.zeros((3, 4), np.float32))
+
+
+def test_results_to_pandas_and_arrow():
+    """MetaQueryResults exports to pandas/Arrow with null-faithful dtypes."""
+    import numpy as np
+    import pandas as pd
+
+    from otters_tpu import Column, DataType, Metric, MetaStore
+
+    rng = np.random.default_rng(51)
+    n = 64
+    cols = [
+        Column("price", DataType.Float64).from_values(
+            [None if i % 7 == 0 else float(i) for i in range(n)]
+        ),
+        Column("tag", DataType.String).from_values(
+            [None if i % 5 == 0 else f"t{i % 3}" for i in range(n)]
+        ),
+        Column("ok", DataType.Bool).from_values(
+            [None if i % 11 == 0 else (i % 2 == 0) for i in range(n)]
+        ),
+        Column("cnt", DataType.Int64).from_values(list(range(n))),
+        Column("when", DataType.DateTime).from_values(
+            [1704067200000 + i * 86_400_000 for i in range(n)]
+        ),
+    ]
+    store = (
+        MetaStore.from_columns(cols)
+        .with_vectors(rng.normal(size=(n, 8)).astype(np.float32))
+        .with_chunk_size(16)
+        .build()
+    )
+    r = store.query(rng.normal(size=8).astype(np.float32), Metric.Cosine).take(20).collect()
+    df = r.to_pandas()
+    assert list(df.columns) == ["index", "score", "cnt", "ok", "price", "tag", "when"]
+    assert len(df) == 20
+    assert df["index"].tolist() == r.indices
+    for i, gi in enumerate(r.indices):
+        if gi % 7 == 0:
+            assert np.isnan(df["price"][i])
+        else:
+            assert df["price"][i] == float(gi)
+        if gi % 5 == 0:
+            assert pd.isna(df["tag"][i])
+        else:
+            assert df["tag"][i] == f"t{gi % 3}"
+        if gi % 11 == 0:
+            assert pd.isna(df["ok"][i])
+        assert df["cnt"][i] == gi
+    assert str(df["when"].dtype).startswith("datetime64")
+    try:
+        import pyarrow  # noqa: F401
+    except ImportError:
+        return
+    table = r.to_arrow()
+    assert table.num_rows == 20
+    assert "score" in table.column_names

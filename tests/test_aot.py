@@ -186,3 +186,34 @@ print(f"OK {mode} first_query_s={dt:.3f}")
         outs[mode] = res.stdout
     blobs = list(tmp_path.glob("*.jaxexe"))
     assert blobs and all(b.stat().st_size > 0 for b in blobs)
+
+
+def test_precompile_rerank_warms_device_program(store_factory=None):
+    """precompile(rerank_from=..., pipeline_depths=...) readies the widened
+    scan and the batched device rerank for each pipeline depth."""
+    import numpy as np
+
+    from otters_tpu import Metric, MetaStore
+    from otters_tpu.errors import OttersError
+
+    rng = np.random.default_rng(81)
+    n, d = 3000, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(vecs)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    count = store.precompile(
+        filters=[None], batch_sizes=(2,), k=3, rerank_from=32,
+        pipeline_depths=(1, 3),
+    )
+    assert count >= 1 + 3 + 1  # rerank warms (1+3 pendings) + base program
+    # a store without a rerank source must refuse
+    bare = MetaStore.from_columns([]).with_vectors(vecs).build()
+    import pytest as _pytest
+
+    with _pytest.raises(OttersError, match="with_rerank_source"):
+        bare.precompile(rerank_from=32)
