@@ -74,9 +74,18 @@ def _backend_tag() -> str:
         "OTTERS_PALLAS_INTERPRET", ""
     )
     extra = hashlib.sha256(f"{runtime}|{flags}".encode()).hexdigest()[:8]
+    # process index + first LOCAL device id: single-device program blobs
+    # bind to their compile-time device; without these a multihost peer (or
+    # a process pinned to a different local device) sharing the cache dir
+    # would deserialize a blob it cannot dispatch
+    loc = jax.local_devices()[0]
+    try:
+        pidx = jax.process_index()
+    except Exception:
+        pidx = 0
     return (
         f"{jax.__version__}|{dev.platform}|{dev.device_kind}|"
-        f"n{len(jax.devices())}|{extra}|{_code_version()}"
+        f"n{len(jax.devices())}p{pidx}d{loc.id}|{extra}|{_code_version()}"
     )
 
 

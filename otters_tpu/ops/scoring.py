@@ -848,9 +848,11 @@ def scan_pruned_topk_core(
 PANEL_K_MAX = 1024
 SCAN_K_MAX = DIRECT_LIMIT // 4
 # Host-memory ceiling for the windowed take-all path: b * n_pad candidate
-# scores (f32) + validity (bool) are staged host-side, so 2^28 candidates
-# ~= 1.3 GB. Beyond this, take(k) with a smaller k is required.
-TAKE_ALL_LIMIT = 1 << 28
+# scores (f32) + validity (bool) are staged host-side, so 2^29 candidates
+# ~= 2.7 GB. Matches (slightly exceeds) the old direct-fallback ceiling
+# (b*n_pad*4 <= 2<<30) so no previously-working take-all size regresses.
+# Beyond this, take(k) with a smaller k is required.
+TAKE_ALL_LIMIT = 1 << 29
 
 
 def needs_windowed(n_pad: int, b: int, k_eff: int) -> bool:

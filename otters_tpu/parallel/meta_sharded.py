@@ -436,6 +436,12 @@ class ShardedMetaStore(MetaStore):
         if (
             metric in VPU_METRICS
             and plan_static
+            and getattr(self, "_pallas_aligned", False)
+            # ^ same guard as the pallas branch: tile skipping maps LOCAL
+            # chunk indices to LOCAL rows, which only holds when the chunk
+            # axis splits row-aligned per shard (unaligned shard() stores
+            # pad the chunk axis separately — skipping there would drop
+            # matching rows)
             and n_local % scoring.SCAN_TILE == 0
             and n_local >= 4 * scoring.SCAN_TILE
             and k_eff <= scoring.SCAN_K_MAX
@@ -682,7 +688,11 @@ def materialize_f32_slabs_sharded(
     for start in range(0, n_pad_s, slab_rows):
         rows = min(slab_rows, n_pad_s - start)
         slab = jnp.asarray(slab_fn(start, rows), dtype=jnp.float32)
-        buf = _f32_ingest_slab_cast(buf, slab.astype(dtype), jnp.int32(start))
+        # reuse the module-level donated-update jit (a per-call jit would
+        # retrace + recompile EVERY slab)
+        buf = scoring._f32_ingest_slab(
+            buf, slab.astype(dtype), jnp.int32(start)
+        )
     sh2 = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows", None))
     buf = jax.device_put(buf, sh2)
     nsq, invn = _sharded_call(
@@ -696,13 +706,6 @@ def materialize_f32_slabs_sharded(
     return scoring.DeviceVecs(buf, nsq, invn, valid)
 
 
-def _f32_ingest_slab_cast(buf, slab, start):
-    import jax
-
-    return jax.jit(
-        lambda b, s, st: jax.lax.dynamic_update_slice(b, s, (st, 0)),
-        donate_argnums=(0,),
-    )(buf, slab, start)
 
 
 def _stage_column_host(colo, n: int):

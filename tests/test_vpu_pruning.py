@@ -175,3 +175,34 @@ def test_vpu_pruned_scan_fuzz(trial):
         np.asarray(r.scores), want, rtol=2e-4, atol=2e-4
     )
     assert all(mask[i] for i in r.indices)
+
+
+def test_vpu_pruned_scan_skipped_on_unaligned_sharded_store():
+    """Round-3 review regression: an UNALIGNED shard() store (chunk axis
+    padded separately from rows) must NOT take the per-shard pruned-scan
+    route — its local chunk->row mapping is wrong there. Previously a
+    Manhattan query with a single-chunk filter silently returned []."""
+    from otters_tpu.parallel import ShardedMetaStore, make_mesh
+
+    rng = np.random.default_rng(71)
+    n, d, chunk = 70_000, 8, 1000  # lcm(8192, 1000) >> 4*8192 -> unaligned
+    vecs = np.abs(rng.normal(size=(n, d))).astype(np.float32)
+    price = (np.arange(n) // chunk).astype(np.float64)
+    local = (
+        MetaStore.from_columns(
+            [Column("price", DataType.Float64).from_values(price)]
+        )
+        .with_vectors(vecs)
+        .with_chunk_size(chunk)
+        .build()
+    )
+    mesh = make_mesh(rows=2, batch=4)
+    sharded = ShardedMetaStore.shard(local, mesh)
+    assert not sharded._pallas_aligned
+    q = np.abs(rng.normal(size=(2, d))).astype(np.float32)
+    expr = col("price").eq(45.0)  # rows 45000..45999 only
+    want = local.query_batch(q, Metric.Manhattan).meta_filter(expr).take(10).collect()
+    got = sharded.query_batch(q, Metric.Manhattan).meta_filter(expr).take(10).collect()
+    assert len(got) == len(want) == 10
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=2e-4, atol=2e-4)
