@@ -267,3 +267,29 @@ def test_sharded_take_all_guard():
     # normal k still fine (k_eff capped by b*n_pad stays under the bound)
     r = store.query(vecs[0], Metric.Cosine).take(5).collect()
     assert len(r) == 5
+
+
+def test_build_sharded_save_load_roundtrip(tmp_path):
+    """A build_sharded store saves (gathering shards) and loads as a
+    single-device store with identical query results."""
+    rng = np.random.default_rng(10)
+    n, d = 3_000, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    price = (np.arange(n) % 50).astype(np.float64)
+    cols = [Column("price", DataType.Float64).from_values(price)]
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .build_sharded(mesh)
+    )
+    path = str(tmp_path / "s.npz")
+    sharded.save(path)
+    loaded = MetaStore.load(path)
+    q = rng.normal(size=(2, d)).astype(np.float32)
+    expr = col("price").lt(10.0)
+    want = sharded.query_batch(q, Metric.Cosine).meta_filter(expr).take(8).collect()
+    got = loaded.query_batch(q, Metric.Cosine).meta_filter(expr).take(8).collect()
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
