@@ -1037,8 +1037,15 @@ class MetaStore:
         valid = np.asarray(self._dv.valid).copy()
         newly = int(valid[idx].sum())
         valid[idx] = False
-        self._dv = self._dv._replace(valid=jnp.asarray(valid))
+        self._dv = self._dv._replace(valid=self._place_valid(valid))
         self._n_deleted += newly
+
+    def _place_valid(self, valid: np.ndarray):
+        """Place the updated [n_pad] validity mask on device. Sharded
+        subclasses override to keep the mask on its row sharding."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(valid)
 
     def append(self, vectors, column_values: Dict[str, list]) -> "MetaStore":
         """Return a NEW store with rows appended (tombstones compacted).

@@ -244,18 +244,18 @@ class ShardedMetaStore(MetaStore):
         super().__init__(schema)
         self.mesh = None
 
-    # -- mutability: the base-class implementations would round-trip the
-    # validity mask through host numpy and re-place it UNSHARDED --
-    def delete_rows(self, indices) -> None:
-        raise OttersError(
-            "sharded stores are immutable; delete on the source store and "
-            "rebuild with build_sharded (or re-shard)"
-        )
+    # -- mutability: delete_rows works through the base class (tombstones);
+    # only the validity-mask placement differs. The mask is the ONE array
+    # that moves: [n_pad] bool gathered to host, updated, re-placed on the
+    # 'rows' sharding — every other shard stays put.
+    def _place_valid(self, valid):
+        return _put_padded(self.mesh, valid, valid.shape[0], False)
 
     def append(self, vectors, column_values):
         raise OttersError(
-            "sharded stores are immutable; append on the source store and "
-            "rebuild with build_sharded (or re-shard)"
+            "sharded stores do not support append; append on the source "
+            "store and rebuild with build_sharded (or re-shard). "
+            "delete_rows IS supported (tombstones, compacted on rebuild)."
         )
 
     @staticmethod

@@ -244,11 +244,86 @@ def test_build_sharded_error_paths():
     from otters_tpu.parallel import ShardedMetaStore
 
     store = MetaStore.from_columns([]).with_vectors(vecs).build_sharded(mesh)
-    with pytest.raises(OttersError, match="immutable"):
-        store.delete_rows([1])
-    with pytest.raises(OttersError, match="immutable"):
+    with pytest.raises(OttersError, match="append"):
         store.append(vecs[:1], {})
     assert isinstance(store, ShardedMetaStore)
+
+
+def test_sharded_delete_rows_matches_oracle():
+    """delete_rows on a sharded store: the validity mask is re-placed on the
+    rows sharding and deleted rows never surface; results match a
+    single-device store with identical deletes."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    n, d = 4_000, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    price = (np.arange(n) % 100).astype(np.float64)
+    cols = [Column("price", DataType.Float64).from_values(price)]
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .build_sharded(mesh)
+    )
+    single = (
+        MetaStore.from_columns(
+            [Column("price", DataType.Float64).from_values(price)]
+        )
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .build()
+    )
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    top = sharded.query_batch(q, Metric.Cosine).take(6).collect()
+    dead = list(top.indices[:4]) + [0, n - 1]
+    sharded.delete_rows(dead)
+    single.delete_rows(dead)
+    assert len(sharded) == n - len(set(dead))
+    # the mask kept its row sharding (no unsharded re-place)
+    shardings = {s for s in sharded._dv.valid.sharding.device_set}
+    assert len(shardings) == len(mesh.devices.flat)
+    for expr in (None, col("price").lt(30.0)):
+        pw = sharded.query_batch(q, Metric.Cosine)
+        ps = single.query_batch(q, Metric.Cosine)
+        if expr is not None:
+            pw = pw.meta_filter(expr)
+            ps = ps.meta_filter(expr)
+        want = ps.take(8).collect()
+        got = pw.take(8).collect()
+        assert got.indices == want.indices
+        assert not (set(got.indices) & set(dead))
+        np.testing.assert_allclose(
+            got.scores, want.scores, rtol=1e-5, atol=1e-6
+        )
+    # idempotent + still queryable after a second delete round
+    sharded.delete_rows(dead[:2])
+    assert len(sharded) == n - len(set(dead))
+    jax.block_until_ready(sharded._dv.valid)
+
+
+def test_sharded_delete_rows_sorted_store_original_ids():
+    """On a sort_by sharded store, delete_rows takes ORIGINAL row ids
+    (remapped through the index map), same as the single-device contract."""
+    rng = np.random.default_rng(12)
+    n, d = 2_048, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    key = rng.permutation(n).astype(np.int64)
+    cols = [Column("key", DataType.Int64).from_values(key)]
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .with_sort_by("key")
+        .build_sharded(mesh)
+    )
+    top = sharded.query(vecs[5], Metric.Cosine).take(1).collect()
+    victim = top.indices[0]
+    sharded.delete_rows([victim])
+    after = sharded.query(vecs[5], Metric.Cosine).take(3).collect()
+    assert victim not in after.indices
 
 
 def test_sharded_take_all_guard():
