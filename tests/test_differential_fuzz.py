@@ -183,9 +183,14 @@ def _oracle_leaf_mask(dt: DataType, raw, leaf_cmp: CmpOp, rhs) -> np.ndarray:
     return out
 
 
-def _oracle(vectors, queries, metric, compiled, raw_cols, schema, k, thr, cmp):
+def _oracle(
+    vectors, queries, metric, compiled, raw_cols, schema, k, thr, cmp,
+    alive=None,
+):
     n = len(vectors)
     mask = np.ones(n, dtype=bool)
+    if alive is not None:
+        mask &= alive
     for clause in compiled.clauses:
         cm = np.zeros(n, dtype=bool)
         for lf in clause:
@@ -319,5 +324,97 @@ def test_random_store_random_filter_matches_oracle(trial):
     for i in got.indices:
         assert row_mask[i], f"trial {trial}: row {i} fails the filter"
     # stats sanity: pruning never loses a matching chunk
+    stats = store.last_query_stats()
+    assert stats.evaluated_chunks + stats.pruned_chunks == stats.total_chunks
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_random_sharded_store_matches_oracle(trial):
+    """The SPMD sharded engine under the same differential oracle: random
+    stores built straight onto an 8-device mesh (4 row shards x 2 batch),
+    random CNF filters over every dtype, every metric, random vec_filter,
+    plus random tombstone deletes (round-3 sharded delete_rows)."""
+    from otters_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(7000 + trial)
+    n = int(rng.integers(50, 800))
+    # few distinct dims/chunks keep the SPMD compile cache warm across trials
+    d = int(rng.choice([8, 16, 32]))
+    chunk = int(rng.choice([256, 512]))
+    n_cols = int(rng.integers(1, 4))
+
+    cols, raws, schema = [], {}, {}
+    for ci in range(n_cols):
+        dt = DTYPES[rng.integers(0, len(DTYPES))]
+        name = f"c{ci}"
+        c, raw = _random_column(name, dt, n, rng)
+        cols.append(c)
+        raws[name] = raw
+        schema[name] = dt
+
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    metric = [
+        Metric.Cosine, Metric.DotProduct, Metric.Euclidean,
+        Metric.Manhattan, Metric.Hamming, Metric.Jaccard,
+    ][rng.integers(0, 6)]
+    b = int(rng.integers(1, 4))
+    if metric in (Metric.Hamming, Metric.Jaccard):
+        vectors = (vectors > 0).astype(np.float32)
+        queries = (rng.normal(size=(b, d)) > 0).astype(np.float32)
+    else:
+        queries = rng.normal(size=(b, d)).astype(np.float32)
+
+    mesh = make_mesh(rows=4, batch=2)
+    store = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(chunk)
+        .build_sharded(mesh)
+    )
+
+    alive = np.ones(n, dtype=bool)
+    if rng.random() < 0.5:
+        dead = rng.choice(n, size=int(rng.integers(1, max(2, n // 10))),
+                          replace=False)
+        store.delete_rows(dead.tolist())
+        alive[dead] = False
+
+    leaves = [
+        _random_leaf(name, schema[name], raws[name], rng)
+        for name in rng.choice(list(schema), size=rng.integers(1, 4))
+    ]
+    expr = leaves[0]
+    for e in leaves[1:]:
+        expr = (expr & e) if rng.random() < 0.5 else (expr | e)
+
+    k = int(rng.integers(1, 30))
+    use_vf = rng.random() < 0.4
+    thr = float(rng.normal(0, 5)) if use_vf else None
+    vcmp = (
+        Cmp.Gt
+        if metric in (Metric.Cosine, Metric.DotProduct, Metric.Jaccard)
+        else Cmp.Lt
+    )
+
+    plan = store.query_batch(queries, metric).meta_filter(expr).take(k)
+    if use_vf:
+        plan = plan.vec_filter(thr, vcmp)
+    got = plan.collect()
+
+    compiled = expr.compile(store.schema())
+    want_scores, row_mask = _oracle(
+        vectors, queries, metric, compiled, raws, schema, k,
+        thr if use_vf else None, vcmp, alive=alive,
+    )
+
+    assert len(got) == len(want_scores), (
+        f"trial {trial}: count {len(got)} vs oracle {len(want_scores)}"
+    )
+    np.testing.assert_allclose(
+        got.scores, want_scores, rtol=2e-4, atol=2e-4,
+        err_msg=f"trial {trial}",
+    )
+    for i in got.indices:
+        assert row_mask[i], f"trial {trial}: row {i} fails filter/alive"
     stats = store.last_query_stats()
     assert stats.evaluated_chunks + stats.pruned_chunks == stats.total_chunks
