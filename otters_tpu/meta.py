@@ -1198,6 +1198,40 @@ class MetaStore:
             self._hostmask_cache[key] = cached
         return cached
 
+    # -- windowed take-all hook (overridden by ShardedMetaStore) -------------
+    def _windowed_collect(
+        self, cols_sub, queries, plan_params, plan_static, k_eff,
+        metric, take_min, thr, cmp,
+    ):
+        """Single-device take-all: device pruning + windowed score
+        streaming. -> (rows, scores, valid, check, evaluated, rows_eval)."""
+        import jax
+
+        dv = self._dv
+        n_pad = dv.vectors.shape[0]
+        if plan_static:
+            rmask, ev, re_ = _mask_program(
+                cols_sub, self._chunk_lens, plan_params,
+                plan_static=plan_static, n_pad=n_pad,
+            )
+            ev, re_ = jax.device_get((ev, re_))
+        else:
+            rmask = None
+            ev = np.int32(self.n_chunks())
+            re_ = np.int32(self.n_rows)
+        rows, scores, valid = scoring.collect_all(
+            dv,
+            queries,
+            metric,
+            k_eff,
+            take_min=take_min,
+            cmp=cmp,
+            thr=thr,
+            row_mask=rmask,
+            prec=self.precision,
+        )
+        return rows, scores, valid, np.bool_(True), ev, re_
+
     # -- device program hook (overridden by ShardedMetaStore) ----------------
     def _prepare_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
@@ -1751,35 +1785,14 @@ class MetaQueryPlan:
         thr, cmp,
     ):
         """Take-all execution: device pruning + windowed score streaming
-        (scoring.collect_all). Returns a host tuple in the program's raw
-        output layout (rows, scores, valid, check, evaluated, rows_eval)."""
-        import jax
-
-        store = self._store
-        dv = store._dv
-        n_pad = dv.vectors.shape[0]
-        if plan_static:
-            rmask, ev, re_ = _mask_program(
-                cols_sub, store._chunk_lens, plan_params,
-                plan_static=plan_static, n_pad=n_pad,
-            )
-            ev, re_ = jax.device_get((ev, re_))
-        else:
-            rmask = None
-            ev = np.int32(store.n_chunks())
-            re_ = np.int32(store.n_rows)
-        rows, scores, valid = scoring.collect_all(
-            dv,
-            queries,
-            self._metric,
-            k_eff,
-            take_min=(take_type is TakeType.Min),
-            cmp=cmp,
-            thr=thr,
-            row_mask=rmask,
-            prec=store.precision,
+        (scoring.collect_all), dispatched through the store so sharded
+        stores can run it per shard. Returns a host tuple in the program's
+        raw output layout (rows, scores, valid, check, evaluated,
+        rows_eval)."""
+        return self._store._windowed_collect(
+            cols_sub, queries, plan_params, plan_static, k_eff,
+            self._metric, (take_type is TakeType.Min), thr, cmp,
         )
-        return rows, scores, valid, np.bool_(True), ev, re_
 
 
 class PendingMetaQuery:

@@ -918,6 +918,7 @@ def collect_all(
     thr: Optional[float],
     row_mask=None,
     prec: str = "highest",
+    return_qidx: bool = False,
 ):
     """Windowed full-score collection for the take-all regime.
 
@@ -926,7 +927,10 @@ def collect_all(
     the host. Matches the reference's take-all semantics (meta.rs:638-640,
     699-709: sort everything by the take direction, truncate to k) at sizes
     where no on-device top-k buffer fits. Returns (rows, scores, valid) as
-    host arrays like :func:`run_vec_topk`.
+    host arrays like :func:`run_vec_topk`; with ``return_qidx`` also the
+    query index per result, so a caller merging several stores (the sharded
+    take-all path) can reproduce the exact single-device flat-index tie
+    order.
     """
     n_pad = dv.vectors.shape[0]
     b = queries.shape[0]
@@ -974,6 +978,8 @@ def collect_all(
     rows = (order % n_pad).astype(np.int32)
     out_scores = scores_h.reshape(-1)[order]
     out_valid = ok_h.reshape(-1)[order]
+    if return_qidx:
+        return rows, out_scores, out_valid, (order // n_pad).astype(np.int32)
     return rows, out_scores, out_valid
 
 

@@ -238,7 +238,10 @@ class ShardedMetaStore(MetaStore):
     MetaStore (query/query_batch -> meta_filter/vec_filter/take -> collect).
     """
 
-    _supports_windowed = False  # runs its own SPMD program instead
+    # take-all runs per shard (each shard streams its own score windows to
+    # the host from its own device; only k-sized merge state crosses) — see
+    # _windowed_collect below
+    _supports_windowed = True
 
     def __init__(self, schema):
         super().__init__(schema)
@@ -543,6 +546,136 @@ class ShardedMetaStore(MetaStore):
             )
         )
         return rows, scores, ok
+
+    def _windowed_collect(
+        self, cols_sub, queries, plan_params, plan_static, k_eff,
+        metric, take_min, thr, cmp,
+    ):
+        """Sharded take-all (reference meta.rs:638-640 returns EVERY row).
+
+        Runs the single-device windowed collection PER ROW SHARD, on each
+        shard's own device: the shard's arrays are taken zero-copy from
+        its addressable shards, the pruning/mask program runs locally, and
+        scoring.collect_all streams that shard's score windows to the
+        host. Rows never cross devices — only per-shard candidate lists
+        (<= k_eff each) meet on the host, where the global top-k_eff is
+        reproduced in the exact single-device order via the flat
+        (query, global row) tie key. O(b*n) host traffic is inherent to
+        take-all; what this avoids is the all-gather of O(n) results onto
+        EVERY device that the SPMD top-k merge would imply.
+        """
+        import jax
+
+        if jax.process_count() > 1:
+            raise OttersError(
+                "take-all on a multi-process sharded store is not "
+                "supported (results from non-addressable shards cannot "
+                "be collected); use take(k) or a single-process mesh"
+            )
+        n_pad = self._dv.vectors.shape[0]
+        b = queries.shape[0]
+        if b * n_pad > scoring.TAKE_ALL_LIMIT:
+            raise OttersError(
+                f"take-all over {b} queries x {n_pad} rows stages "
+                f"{b * n_pad} candidate scores (> {scoring.TAKE_ALL_LIMIT});"
+                " use a smaller take(k) or fewer queries per batch"
+            )
+
+        # one (row_start, device) per distinct row block; batch-axis
+        # replicas collapse to the first device seen
+        blocks = {}
+        for sh in self._dv.vectors.addressable_shards:
+            start = sh.index[0].start or 0
+            if start not in blocks:
+                blocks[start] = (sh.device, sh.data.shape[0])
+        chunk_ranges = {}  # device -> (chunk_start, chunk_len)
+        for sh in self._chunk_lens.addressable_shards:
+            chunk_ranges[sh.device] = (
+                sh.index[0].start or 0, sh.data.shape[0]
+            )
+        n_chunks_dev = int(self._chunk_lens.shape[0])
+
+        def on_dev(x, dev, row_sl, chunk_sl):
+            """Shard-local view of x on dev: zero-copy when x is sharded
+            there, host-sliced otherwise (unsharded hostmask params)."""
+            if isinstance(x, jax.Array) and len(x.devices()) > 1:
+                for s in x.addressable_shards:
+                    if s.device == dev:
+                        return s.data
+            arr = np.asarray(x)
+            if arr.ndim >= 1 and arr.shape[0] == n_pad:
+                return arr[row_sl]
+            if arr.ndim >= 1 and arr.shape[0] == n_chunks_dev:
+                return arr[chunk_sl]
+            return arr
+
+        ev_total = np.int32(0)
+        re_total = np.int32(0)
+        key_parts, flat_parts, row_parts, sc_parts, ok_parts = (
+            [], [], [], [], []
+        )
+        for row_start in sorted(blocks):
+            dev, n_loc = blocks[row_start]
+            row_sl = slice(row_start, row_start + n_loc)
+            cstart, clen = chunk_ranges[dev]
+            chunk_sl = slice(cstart, cstart + clen)
+            loc = lambda x: on_dev(x, dev, row_sl, chunk_sl)  # noqa: E731
+            dv_loc = scoring.DeviceVecs(
+                loc(self._dv.vectors), loc(self._dv.norms_sq),
+                loc(self._dv.inv_norms), loc(self._dv.valid),
+            )
+            if plan_static:
+                from .. import meta as meta_mod
+
+                cols_loc = jax.tree_util.tree_map(loc, cols_sub)
+                # only hostmask/null leaves carry geometry-shaped params;
+                # every other leaf's params are scalars/probe coords
+                params_loc = tuple(
+                    tuple(
+                        tuple(loc(p) for p in leaf_params)
+                        if st[0] in ("hostmask", "null")
+                        else leaf_params
+                        for st, leaf_params in zip(st_clause, pr_clause)
+                    )
+                    for st_clause, pr_clause in zip(plan_static, plan_params)
+                )
+                rmask, ev, re_ = meta_mod._mask_program(
+                    cols_loc, loc(self._chunk_lens), params_loc,
+                    plan_static=plan_static, n_pad=n_loc,
+                )
+                ev, re_ = jax.device_get((ev, re_))
+                ev_total += ev
+                re_total += re_
+            else:
+                rmask = None
+            rows_r, sc_r, ok_r, q_r = scoring.collect_all(
+                dv_loc, queries, metric, min(k_eff, b * n_loc),
+                take_min=take_min, cmp=cmp, thr=thr, row_mask=rmask,
+                prec=self.precision, return_qidx=True,
+            )
+            grow = rows_r.astype(np.int64) + row_start
+            key = np.where(
+                ok_r, sc_r.astype(np.float64),
+                np.inf if take_min else -np.inf,
+            )
+            if not take_min:
+                key = -key
+            key_parts.append(key)
+            flat_parts.append(q_r.astype(np.int64) * n_pad + grow)
+            row_parts.append(grow.astype(np.int32))
+            sc_parts.append(sc_r)
+            ok_parts.append(ok_r)
+
+        if not plan_static:
+            ev_total = np.int32(self.n_chunks())
+            re_total = np.int32(self.n_rows)
+        key = np.concatenate(key_parts)
+        flat = np.concatenate(flat_parts)
+        order = np.lexsort((flat, key))[:k_eff]
+        rows = np.concatenate(row_parts)[order]
+        out_scores = np.concatenate(sc_parts)[order]
+        out_valid = np.concatenate(ok_parts)[order]
+        return rows, out_scores, out_valid, np.bool_(True), ev_total, re_total
 
 
 # ---------------------------------------------------------------------------

@@ -326,22 +326,92 @@ def test_sharded_delete_rows_sorted_store_original_ids():
     assert victim not in after.indices
 
 
-def test_sharded_take_all_guard():
-    """Take-all on a sharded store raises a clear error instead of
-    all-gathering O(n) results onto every device."""
+def test_sharded_take_all_windowed():
+    """Take-all on a sharded store now runs per-shard windowed collection
+    (previously a guard error): every valid row comes back, globally
+    merged across the batch in take order."""
     rng = np.random.default_rng(9)
-    vecs = rng.normal(size=(4096, 8)).astype(np.float32)
+    n, d, b = 4096, 8, 64
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
     mesh = make_mesh(rows=4, batch=2)
     store = MetaStore.from_columns([]).with_vectors(vecs).build_sharded(mesh)
     from otters_tpu.ops import scoring
 
-    qs = rng.normal(size=(64, 8)).astype(np.float32)  # b*n_pad > SCAN_K_MAX
-    plan = store.query_batch(qs, Metric.Cosine).take(scoring.SCAN_K_MAX + 1)
-    with pytest.raises(OttersError, match="sharded store"):
-        plan.collect()
-    # normal k still fine (k_eff capped by b*n_pad stays under the bound)
-    r = store.query(vecs[0], Metric.Cosine).take(5).collect()
-    assert len(r) == 5
+    qs = rng.normal(size=(b, d)).astype(np.float32)  # k_eff > SCAN_K_MAX
+    r = store.query_batch(qs, Metric.Cosine).take(scoring.SCAN_K_MAX + 1).collect()
+    assert len(r) == b * n  # every (query, row) candidate survives
+    scores = np.asarray(r.scores)
+    assert np.all(np.diff(scores) <= 1e-12)  # take_max order
+    # top result matches numpy exactly
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    full = qn @ vn.T
+    assert r.indices[0] == int(np.argmax(full.max(axis=0)))
+    np.testing.assert_allclose(scores[0], full.max(), rtol=1e-5)
+    # normal k unchanged
+    r5 = store.query(vecs[0], Metric.Cosine).take(5).collect()
+    assert len(r5) == 5
+
+
+def test_sharded_windowed_matches_single_device(monkeypatch):
+    """Forced-windowed sharded collection == the single-device direct path,
+    with a meta filter (numeric + string-contains hostmask + is_null),
+    vec_filter, and tombstone deletes in play."""
+    from otters_tpu.ops import scoring
+
+    rng = np.random.default_rng(13)
+    n, d, b, k = 2048, 16, 3, 60
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    price = [None if i % 41 == 0 else float(i % 90) for i in range(n)]
+    tag = [f"t{i % 23}x" for i in range(n)]
+
+    def build(shard):
+        cols = [
+            Column("price", DataType.Float64).from_values(price),
+            Column("tag", DataType.String).from_values(tag),
+        ]
+        builder = (
+            MetaStore.from_columns(cols)
+            .with_vectors(vecs)
+            .with_chunk_size(512)
+        )
+        if shard:
+            return builder.build_sharded(make_mesh(rows=4, batch=2))
+        return builder.build()
+
+    sharded, single = build(True), build(False)
+    dead = [0, 7, 500, 1999]
+    sharded.delete_rows(dead)
+    single.delete_rows(dead)
+    expr = (
+        col("price").lt(70.0) | col("price").is_null() | col("tag").contains("3x")
+    )
+    qs = rng.normal(size=(b, d)).astype(np.float32)
+
+    def run(store):
+        return (
+            store.query_batch(qs, Metric.Cosine)
+            .meta_filter(expr)
+            .vec_filter(-0.5, Cmp.Gt)
+            .take(k)
+            .collect()
+        )
+
+    want = run(single)
+    # force the sharded dispatch down the windowed path at this tiny scale
+    real = scoring.needs_windowed
+
+    def fake(n_pad, b_, k_eff):
+        return n_pad > 4096 or real(n_pad, b_, k_eff)
+
+    monkeypatch.setattr(scoring, "needs_windowed", fake)
+    got = run(sharded)
+    assert got.indices == want.indices
+    np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+    s_got, s_want = sharded.last_query_stats(), single.last_query_stats()
+    assert (
+        s_got.evaluated_chunks + s_got.pruned_chunks == s_got.total_chunks
+    )
 
 
 def test_build_sharded_save_load_roundtrip(tmp_path):
