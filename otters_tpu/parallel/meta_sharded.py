@@ -405,14 +405,13 @@ class ShardedMetaStore(MetaStore):
             )
         b = queries.shape[0]
         if min(k, b * self._dv.vectors.shape[0]) > scoring.SCAN_K_MAX:
-            # take-all on a sharded store would all-gather O(n) score/index
-            # pairs onto EVERY device — the single-device windowed path
-            # exists for that regime
+            # safety net: k this large always routes through the per-shard
+            # windowed take-all (needs_windowed is True for every
+            # k_eff > SCAN_K_MAX), never through the SPMD top-k program,
+            # whose merge would all-gather O(k) results onto every device
             raise OttersError(
-                f"take({k}) on a sharded store would gather "
-                f"~{k} results per device; use take(k <= "
-                f"{scoring.SCAN_K_MAX}) or run take-all on a single-device "
-                "store (windowed host collection)"
+                f"internal: take({k}) reached the SPMD program; this size "
+                "belongs to the windowed take-all path"
             )
         n_batch = self.mesh.shape["batch"]
         b_pad = max(n_batch, -(-b // n_batch) * n_batch)
@@ -536,6 +535,17 @@ class ShardedMetaStore(MetaStore):
                 ),
             ),
         )
+        b = queries.shape[0]
+        n_pad = self._dv.vectors.shape[0]
+        k_eff = min(k, b * n_pad)
+        if scoring.needs_windowed(n_pad, b, k_eff):
+            # take-all-sized redo: the SPMD top-k program can't hold k_eff;
+            # re-run through the same per-shard windowed path
+            rows, scores, ok, _, _, _ = self._windowed_collect(
+                {}, queries, plan_params, plan_static, k_eff,
+                metric, take_min, thr, cmp,
+            )
+            return rows, scores, ok
         rows, scores, ok, _, _, _ = jax.device_get(
             self._run_query_program(
                 {}, queries, plan_params,
@@ -563,6 +573,16 @@ class ShardedMetaStore(MetaStore):
         (query, global row) tie key. O(b*n) host traffic is inherent to
         take-all; what this avoids is the all-gather of O(n) results onto
         EVERY device that the SPMD top-k merge would imply.
+
+        Host memory: the merge holds ~17 bytes per retained candidate
+        (f32 key + i32 flat + i32 row + f32 score + bool) in preallocated
+        buffers, ~9 GB at the TAKE_ALL_LIMIT admit ceiling, on top of one
+        shard's [b, n_loc] staging inside collect_all. Mask programs for
+        every shard are dispatched up front (device-parallel); window
+        STREAMING stays sequential per shard — D2H shares one host bus
+        and at take-all sizes the final host sort dominates, so
+        cross-shard overlap buys little (collect_all already
+        double-buffers within a shard).
         """
         import jax
 
@@ -595,6 +615,8 @@ class ShardedMetaStore(MetaStore):
             )
         n_chunks_dev = int(self._chunk_lens.shape[0])
 
+        host_cache = {}  # id(x) -> host copy: ONE gather per array per query
+
         def on_dev(x, dev, row_sl, chunk_sl):
             """Shard-local view of x on dev: zero-copy when x is sharded
             there, host-sliced otherwise (unsharded hostmask params)."""
@@ -602,18 +624,17 @@ class ShardedMetaStore(MetaStore):
                 for s in x.addressable_shards:
                     if s.device == dev:
                         return s.data
-            arr = np.asarray(x)
+            arr = host_cache.get(id(x))
+            if arr is None:
+                arr = np.asarray(x)
+                host_cache[id(x)] = arr
             if arr.ndim >= 1 and arr.shape[0] == n_pad:
                 return arr[row_sl]
             if arr.ndim >= 1 and arr.shape[0] == n_chunks_dev:
                 return arr[chunk_sl]
             return arr
 
-        ev_total = np.int32(0)
-        re_total = np.int32(0)
-        key_parts, flat_parts, row_parts, sc_parts, ok_parts = (
-            [], [], [], [], []
-        )
+        block_list = []  # (row_start, dev, n_loc, rmask-or-None)
         for row_start in sorted(blocks):
             dev, n_loc = blocks[row_start]
             row_sl = slice(row_start, row_start + n_loc)
@@ -639,43 +660,64 @@ class ShardedMetaStore(MetaStore):
                     )
                     for st_clause, pr_clause in zip(plan_static, plan_params)
                 )
+                # dispatch only — every shard's mask program runs
+                # device-parallel before any window streaming starts
                 rmask, ev, re_ = meta_mod._mask_program(
                     cols_loc, loc(self._chunk_lens), params_loc,
                     plan_static=plan_static, n_pad=n_loc,
                 )
+            else:
+                rmask, ev, re_ = None, None, None
+            block_list.append((row_start, dv_loc, rmask, ev, re_))
+
+        # preallocated merge buffers: f32 keys (the dtype the single-device
+        # path sorts) + i32 flat tie index (b * n_pad <= TAKE_ALL_LIMIT
+        # < 2^31, so i32 is exact)
+        k_per = [
+            min(k_eff, b * dvl.vectors.shape[0])
+            for _, dvl, _, _, _ in block_list
+        ]
+        total = int(np.sum(k_per, dtype=np.int64))
+        key = np.empty(total, np.float32)
+        flat = np.empty(total, np.int32)
+        rows_all = np.empty(total, np.int32)
+        sc_all = np.empty(total, np.float32)
+        ok_all = np.empty(total, bool)
+        ev_total = np.int32(0)
+        re_total = np.int32(0)
+        off = 0
+        for (row_start, dv_loc, rmask, ev, re_), k_r in zip(
+            block_list, k_per
+        ):
+            if ev is not None:
                 ev, re_ = jax.device_get((ev, re_))
                 ev_total += ev
                 re_total += re_
-            else:
-                rmask = None
             rows_r, sc_r, ok_r, q_r = scoring.collect_all(
-                dv_loc, queries, metric, min(k_eff, b * n_loc),
+                dv_loc, queries, metric, k_r,
                 take_min=take_min, cmp=cmp, thr=thr, row_mask=rmask,
                 prec=self.precision, return_qidx=True,
             )
+            sl = slice(off, off + k_r)
+            off += k_r
             grow = rows_r.astype(np.int64) + row_start
-            key = np.where(
-                ok_r, sc_r.astype(np.float64),
-                np.inf if take_min else -np.inf,
+            kf = np.where(
+                ok_r, sc_r, np.float32(np.inf if take_min else -np.inf)
             )
-            if not take_min:
-                key = -key
-            key_parts.append(key)
-            flat_parts.append(q_r.astype(np.int64) * n_pad + grow)
-            row_parts.append(grow.astype(np.int32))
-            sc_parts.append(sc_r)
-            ok_parts.append(ok_r)
+            key[sl] = -kf if not take_min else kf
+            flat[sl] = q_r.astype(np.int64) * n_pad + grow
+            rows_all[sl] = grow
+            sc_all[sl] = sc_r
+            ok_all[sl] = ok_r
 
         if not plan_static:
             ev_total = np.int32(self.n_chunks())
             re_total = np.int32(self.n_rows)
-        key = np.concatenate(key_parts)
-        flat = np.concatenate(flat_parts)
         order = np.lexsort((flat, key))[:k_eff]
-        rows = np.concatenate(row_parts)[order]
-        out_scores = np.concatenate(sc_parts)[order]
-        out_valid = np.concatenate(ok_parts)[order]
-        return rows, out_scores, out_valid, np.bool_(True), ev_total, re_total
+        return (
+            rows_all[order], sc_all[order], ok_all[order],
+            np.bool_(True), ev_total, re_total,
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -281,9 +281,15 @@ def test_sharded_delete_rows_matches_oracle():
     sharded.delete_rows(dead)
     single.delete_rows(dead)
     assert len(sharded) == n - len(set(dead))
-    # the mask kept its row sharding (no unsharded re-place)
-    shardings = {s for s in sharded._dv.valid.sharding.device_set}
-    assert len(shardings) == len(mesh.devices.flat)
+    # the mask kept its row sharding (not a single-device or fully
+    # replicated re-place): each shard holds exactly n_pad / n_row_shards
+    n_pad = sharded._dv.vectors.shape[0]
+    assert (
+        sharded._dv.valid.sharding.shard_shape((n_pad,))[0] == n_pad // 4
+    )
+    assert len(sharded._dv.valid.sharding.device_set) == len(
+        mesh.devices.flat
+    )
     for expr in (None, col("price").lt(30.0)):
         pw = sharded.query_batch(q, Metric.Cosine)
         ps = single.query_batch(q, Metric.Cosine)
@@ -412,6 +418,53 @@ def test_sharded_windowed_matches_single_device(monkeypatch):
     assert (
         s_got.evaluated_chunks + s_got.pruned_chunks == s_got.total_chunks
     )
+
+
+def test_sharded_windowed_collision_redo(monkeypatch):
+    """A string-hash collision on a take-all-sized sharded query must be
+    corrected through the windowed path, not crash on the SPMD k guard
+    (review regression: _run_exact_mask_query previously re-dispatched
+    into _run_query_program, whose SCAN_K_MAX guard raised)."""
+    from otters_tpu.ops import hashing, scoring
+
+    rng = np.random.default_rng(17)
+    n, d = 2048, 8
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    names = ["a" if i % 2 == 0 else "b" for i in range(n)]
+    cols = [Column("name", DataType.String).from_values(names)]
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vectors)
+        .with_chunk_size(128)
+        .build_sharded(mesh)
+    )
+    # query hash of "b" collides with stored "a": device matches the wrong
+    # rows; host verification must detect and redo exactly
+    real_hash = hashing.hash_string
+    monkeypatch.setattr(
+        hashing, "hash_string",
+        lambda s: real_hash("a") if s == "b" else real_hash(s),
+    )
+    # route BOTH the main query and the redo down the windowed path
+    real_nw = scoring.needs_windowed
+    monkeypatch.setattr(
+        scoring, "needs_windowed",
+        lambda n_pad, b_, k_eff: n_pad > 4096 or real_nw(n_pad, b_, k_eff),
+    )
+    q = rng.normal(size=(d,)).astype(np.float32)
+    r = (
+        sharded.query(q, Metric.Cosine)
+        .meta_filter(col("name").eq("b"))
+        .take(6)
+        .collect()
+    )
+    assert all(names[i] == "b" for i in r.indices)
+    qi = 1 / np.linalg.norm(q)
+    vi = 1 / np.linalg.norm(vectors, axis=1)
+    s = (vectors @ q) * qi * vi
+    want = np.sort(s[np.array([nm == "b" for nm in names])])[::-1][:6]
+    np.testing.assert_allclose(r.scores, want, rtol=1e-5, atol=1e-5)
 
 
 def test_build_sharded_save_load_roundtrip(tmp_path):
