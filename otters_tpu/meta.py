@@ -921,6 +921,7 @@ class MetaStoreBuilder:
         store._z_order = self._z_order
         store._storage_dtype = self._storage_dtype
         store._rerank_fetch = rerank_fetch
+        store._rerank_config = self._rerank
         store._build_stats = MetaBuildStats(
             n_rows=n_rows,
             dim=dim,
@@ -963,6 +964,7 @@ class MetaStore:
         self._storage_dtype = "float32"
         self._n_deleted = 0
         self._rerank_fetch = None  # set via builder.with_rerank_source
+        self._rerank_config = None  # the builder's (fetch, keep) tuple
         self._plan_cache: Dict = {}
         self._aot_key_cache: Dict = {}
         self._hostmask_cache: Dict = {}
@@ -1052,19 +1054,52 @@ class MetaStore:
 
         Rebuilds chunking/zonemaps/Bloom with the same configuration; row
         ids in the new store are fresh (0..n-1 over surviving + new rows).
+        A ``keep_host_f32`` rerank source carries over (the true-f32
+        snapshot is re-sourced, NOT the quantized storage, so the exactness
+        contract survives int8/bf16 appends); a ``fetch_vectors`` source
+        cannot — ids change under compaction and the fetch knows nothing of
+        the new rows — so append raises then (rebuild with an updated
+        fetch instead).
         """
+        new = self._append_builder(vectors, column_values).build()
+        new.precision = self.precision
+        return new
+
+    def _append_builder(self, vectors, column_values) -> "MetaStoreBuilder":
+        """Shared append logic: a configured builder over surviving + new
+        rows in original ingestion order (tombstones compacted). ``build()``
+        for a single-device result; ``build_sharded(mesh)`` for a sharded
+        one (ShardedMetaStore.append)."""
         n = self._n_rows
-        old_vecs = np.asarray(self._dv.vectors)[:n]
         valid = np.asarray(self._dv.valid)[:n]
         src_cols = (
             self._orig_columns if self._orig_columns is not None else self._columns
         )
+        inv_order = None
         if self._index_map is not None:
             # device arrays are in sorted order; restore original order
             inv_order = np.empty(n, dtype=np.int64)
             inv_order[self._index_map] = np.arange(n)
-            old_vecs = old_vecs[inv_order]
             valid = valid[inv_order]
+        cfg = self._rerank_config
+        if cfg is not None and not cfg[1]:
+            raise OttersError(
+                "append on a store with a fetch_vectors rerank source: row "
+                "ids change under compaction and the fetch cannot describe "
+                "the appended rows; rebuild via MetaStore.from_columns(...)"
+                ".with_rerank_source(fetch) with an updated fetch"
+            )
+        if cfg is not None:
+            # keep_host_f32: re-source the TRUE f32 rows (original order)
+            # so the rebuilt snapshot is not the quantized storage
+            old_vecs = np.asarray(
+                self._rerank_fetch(np.arange(n, dtype=np.int64)),
+                dtype=np.float32,
+            )
+        else:
+            old_vecs = np.asarray(self._dv.vectors)[:n]
+            if inv_order is not None:
+                old_vecs = old_vecs[inv_order]
         keep = np.flatnonzero(valid)
         new_vecs = np.asarray(vectors, dtype=np.float32)
         if new_vecs.ndim != 2 or (n and new_vecs.shape[1] != self._dim):
@@ -1099,9 +1134,9 @@ class MetaStore:
         if self._z_order is not None:
             builder = builder.with_z_order(self._z_order)
         builder = builder.with_storage_dtype(self._storage_dtype)
-        new = builder.build()
-        new.precision = self.precision
-        return new
+        if cfg is not None:
+            builder = builder.with_rerank_source(keep_host_f32=True)
+        return builder
 
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:

@@ -255,11 +255,17 @@ class ShardedMetaStore(MetaStore):
         return _put_padded(self.mesh, valid, valid.shape[0], False)
 
     def append(self, vectors, column_values):
-        raise OttersError(
-            "sharded stores do not support append; append on the source "
-            "store and rebuild with build_sharded (or re-shard). "
-            "delete_rows IS supported (tombstones, compacted on rebuild)."
+        """Append rows: surviving + new rows are re-chunked and rebuilt
+        DIRECTLY onto this store's mesh (same semantics as
+        MetaStore.append — tombstones compacted, fresh ids). The old rows
+        stage through host RAM (np.asarray gathers the shards), exactly
+        like the original host ingest; per-device HBM stays at shard
+        size."""
+        new = build_sharded(
+            self._append_builder(vectors, column_values), self.mesh
         )
+        new.precision = self.precision
+        return new
 
     @staticmethod
     def shard(store: MetaStore, mesh) -> "ShardedMetaStore":
@@ -286,6 +292,7 @@ class ShardedMetaStore(MetaStore):
         out._bloom_config = store._bloom_config
         out._storage_dtype = store._storage_dtype
         out._rerank_fetch = store._rerank_fetch
+        out._rerank_config = store._rerank_config
 
         # re-pad rows and chunks so both axes split evenly across shards.
         # When chunk_size and SCAN_TILE have a small lcm (e.g. power-of-two
@@ -1174,6 +1181,7 @@ def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
     out._z_order = b._z_order
     out._storage_dtype = b._storage_dtype
     out._rerank_fetch = rerank_fetch
+    out._rerank_config = b._rerank
     out._pallas_aligned = True
     out._build_stats = meta_mod.MetaBuildStats(
         n_rows=n_rows,

@@ -244,8 +244,6 @@ def test_build_sharded_error_paths():
     from otters_tpu.parallel import ShardedMetaStore
 
     store = MetaStore.from_columns([]).with_vectors(vecs).build_sharded(mesh)
-    with pytest.raises(OttersError, match="append"):
-        store.append(vecs[:1], {})
     assert isinstance(store, ShardedMetaStore)
 
 
@@ -418,6 +416,100 @@ def test_sharded_windowed_matches_single_device(monkeypatch):
     assert (
         s_got.evaluated_chunks + s_got.pruned_chunks == s_got.total_chunks
     )
+
+
+def test_sharded_append_matches_oracle():
+    """append on a sharded store rebuilds straight onto the mesh
+    (tombstones compacted, fresh ids) and matches a single-device store
+    with identical deletes + appends."""
+    from otters_tpu.parallel import ShardedMetaStore
+
+    rng = np.random.default_rng(23)
+    n, d, m = 3_000, 16, 500
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    price = [float(x) for x in rng.uniform(0, 100, size=n)]
+    tag = [f"t{i % 11}" for i in range(n)]
+
+    def builder():
+        return (
+            MetaStore.from_columns(
+                [
+                    Column("price", DataType.Float64).from_values(price),
+                    Column("tag", DataType.String).from_values(tag),
+                ]
+            )
+            .with_vectors(vecs)
+            .with_chunk_size(256)
+        )
+
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = builder().build_sharded(mesh)
+    single = builder().build()
+    dead = rng.choice(n, size=200, replace=False).tolist()
+    sharded.delete_rows(dead)
+    single.delete_rows(dead)
+    new_vecs = rng.normal(size=(m, d)).astype(np.float32)
+    new_cols = {
+        "price": [float(x) for x in rng.uniform(0, 100, size=m)],
+        "tag": [f"t{i % 11}" for i in range(m)],
+    }
+    sh2 = sharded.append(new_vecs, new_cols)
+    si2 = single.append(new_vecs, new_cols)
+    assert isinstance(sh2, ShardedMetaStore)
+    assert len(sh2) == len(si2) == n - 200 + m
+    # the rebuilt vectors landed sharded over the mesh rows axis
+    n_pad2 = sh2._dv.vectors.shape[0]
+    assert sh2._dv.vectors.sharding.shard_shape((n_pad2, d))[0] == n_pad2 // 4
+    qs = rng.normal(size=(3, d)).astype(np.float32)
+    for expr in (None, col("price").lt(40.0) & col("tag").eq("t3")):
+        pw = sh2.query_batch(qs, Metric.Cosine)
+        ps = si2.query_batch(qs, Metric.Cosine)
+        if expr is not None:
+            pw = pw.meta_filter(expr)
+            ps = ps.meta_filter(expr)
+        rw = pw.take(8).collect()
+        rs = ps.take(8).collect()
+        assert rw.indices == rs.indices
+        np.testing.assert_allclose(rw.scores, rs.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_append_int8_rerank_exact():
+    """append on an int8 + keep_host_f32 sharded store keeps the exactness
+    contract: the rebuilt snapshot holds TRUE f32 rows (not quantized
+    codes), so rerank recall stays 1.0 over surviving + appended rows."""
+    rng = np.random.default_rng(29)
+    n, d, m = 4_000, 24, 600
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    price = [float(x) for x in rng.uniform(0, 100, size=n)]
+    mesh = make_mesh(rows=4, batch=2)
+    store = (
+        MetaStore.from_columns(
+            [Column("price", DataType.Float64).from_values(price)]
+        )
+        .with_vectors(vecs)
+        .with_chunk_size(256)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build_sharded(mesh)
+    )
+    dead = rng.choice(n, size=300, replace=False).tolist()
+    store.delete_rows(dead)
+    new_vecs = rng.normal(size=(m, d)).astype(np.float32)
+    st2 = store.append(
+        new_vecs, {"price": [float(x) for x in rng.uniform(0, 100, size=m)]}
+    )
+    assert st2._storage_dtype == "int8"
+    keep = np.ones(n, dtype=bool)
+    keep[dead] = False
+    combined = np.concatenate([vecs[keep], new_vecs], axis=0)
+    q = rng.normal(size=(d,)).astype(np.float32)
+    r = st2.query(q, Metric.Cosine).take(5, rerank_from=100).collect()
+    s = (combined @ q) / (
+        np.linalg.norm(combined, axis=1) * np.linalg.norm(q)
+    )
+    want = np.argsort(-s, kind="stable")[:5]
+    assert list(r.indices) == list(want)
+    np.testing.assert_allclose(r.scores, s[want], rtol=1e-5, atol=1e-6)
 
 
 def test_sharded_windowed_collision_redo(monkeypatch):

@@ -334,3 +334,73 @@ def test_resolve_mixed_groups_in_one_call():
         want = m().collect()
         assert r.indices == want.indices
         np.testing.assert_allclose(r.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def _head_vals(c, m):
+    """First m values of a Column as push()-able Python values."""
+    vm = c.values()
+    nm = np.asarray(c.null_mask(), dtype=bool)
+    out = []
+    for i in range(m):
+        if nm[i]:
+            out.append(None)
+        else:
+            v = vm[i]
+            out.append(v.item() if hasattr(v, "item") else v)
+    return out
+
+
+def test_append_preserves_keep_host_f32_rerank():
+    """append on a keep_host_f32 store re-sources TRUE f32 rows for the
+    rebuilt snapshot (NOT the quantized int8 codes), so the exactness
+    contract survives appends."""
+    vecs, cols = synthetic_catalog(6_000, 32, seed=7)
+    store = (
+        MetaStore.from_columns(list(cols.values()))
+        .with_vectors(vecs)
+        .with_chunk_size(256)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    rng = np.random.default_rng(2)
+    dead = rng.choice(6_000, size=500, replace=False).tolist()
+    store.delete_rows(dead)
+    m = 400
+    new_vecs = rng.normal(size=(m, 32)).astype(np.float32)
+    new_vals = {name: _head_vals(c, m) for name, c in cols.items()}
+    st2 = store.append(new_vecs, new_vals)
+    keep = np.ones(6_000, dtype=bool)
+    keep[dead] = False
+    combined = np.concatenate([vecs[keep], new_vecs], axis=0)
+    # the carried snapshot holds the TRUE f32 rows, bit-exact
+    ids = np.arange(combined.shape[0], dtype=np.int64)
+    np.testing.assert_array_equal(st2._rerank_fetch(ids), combined)
+    qs = (combined[:3] + 0.05 * rng.normal(size=(3, 32))).astype(np.float32)
+    res = st2.query_batch(qs, Metric.Cosine).take(10, rerank_from=200).collect()
+    s = _cosine_oracle(qs, combined)
+    flat = s.reshape(-1)
+    want = np.argsort(-flat, kind="stable")[:10]
+    want_rows = (want % combined.shape[0]).tolist()
+    assert recall_at_k(want_rows, res.indices) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(res.scores), np.sort(flat)[::-1][:10], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_append_with_fetch_rerank_raises():
+    """A fetch_vectors rerank source cannot survive append (ids change
+    under compaction; the fetch knows nothing of the new rows) — append
+    raises with guidance instead of silently dropping exactness."""
+    vecs, cols = synthetic_catalog(2_000, 16, seed=9)
+    store = (
+        MetaStore.from_columns(list(cols.values()))
+        .with_vectors(vecs)
+        .with_chunk_size(256)
+        .with_storage_dtype("int8")
+        .with_rerank_source(fetch_vectors=lambda ids: vecs[np.asarray(ids)])
+        .build()
+    )
+    new_vals = {name: _head_vals(c, 1) for name, c in cols.items()}
+    with pytest.raises(OttersError, match="fetch"):
+        store.append(vecs[:1], new_vals)
