@@ -42,15 +42,32 @@ def save_meta(store: MetaStore, path: str) -> None:
     """Serialize a MetaStore (vectors + columns + config) to ``path``.
 
     Sorted stores are saved in ORIGINAL ingestion order (the sort is
-    re-applied on load); tombstoned deletions are preserved."""
+    re-applied on load); tombstoned deletions are preserved. For a
+    ``keep_host_f32`` rerank store the TRUE f32 snapshot is saved as the
+    vector payload (the same rows the original build quantized, so the
+    rebuilt int8/bf16 codes are identical) and the rerank source is
+    restored on load; a ``fetch_vectors`` source cannot be serialized —
+    the manifest records it so load can say so."""
     n = store.n_rows
     arrays = {}
-    vectors = np.asarray(store._dv.vectors)[:n] if store._dv is not None else (
-        np.zeros((0, store._dim), np.float32)
-    )
-    if vectors.dtype != np.float32:
-        # bfloat16 storage: upcast (exact) — npz cannot round-trip ml_dtypes
-        vectors = vectors.astype(np.float32)
+    cfg = store._rerank_config
+    keep_rerank = bool(cfg is not None and cfg[1])
+    if keep_rerank and store._rerank_fetch is not None:
+        # true-f32 snapshot, already in ORIGINAL ingestion order
+        vectors = np.asarray(
+            store._rerank_fetch(np.arange(n, dtype=np.int64)),
+            dtype=np.float32,
+        )
+    else:
+        vectors = (
+            np.asarray(store._dv.vectors)[:n]
+            if store._dv is not None
+            else np.zeros((0, store._dim), np.float32)
+        )
+        if vectors.dtype != np.float32:
+            # bfloat16 storage: upcast (exact) — npz cannot round-trip
+            # ml_dtypes
+            vectors = vectors.astype(np.float32)
     deleted = (
         ~np.asarray(store._dv.valid)[:n]
         if store._dv is not None
@@ -60,7 +77,8 @@ def save_meta(store: MetaStore, path: str) -> None:
     if store._index_map is not None:
         inv = np.empty(n, dtype=np.int64)
         inv[store._index_map] = np.arange(n)
-        vectors = vectors[inv]
+        if not keep_rerank:
+            vectors = vectors[inv]  # device order -> original order
         deleted = deleted[inv]
         columns = store._orig_columns
     arrays["vectors"] = vectors
@@ -89,6 +107,11 @@ def save_meta(store: MetaStore, path: str) -> None:
         "sort_by": list(store._sort_by) if store._sort_by else None,
         "z_order": list(store._z_order) if store._z_order else None,
         "storage_dtype": store._storage_dtype,
+        "rerank": (
+            "keep_host_f32"
+            if keep_rerank
+            else ("fetch" if cfg is not None else None)
+        ),
     }
     arrays["manifest"] = np.frombuffer(
         json.dumps(manifest).encode("utf-8"), dtype=np.uint8
@@ -99,8 +122,15 @@ def save_meta(store: MetaStore, path: str) -> None:
         np.savez(f, **arrays)
 
 
-def load_meta(path: str) -> MetaStore:
-    """Load a MetaStore saved with :func:`save_meta` (device state rebuilt)."""
+def load_meta(path: str, mesh=None) -> MetaStore:
+    """Load a MetaStore saved with :func:`save_meta` (device state rebuilt).
+
+    With ``mesh`` the store is rebuilt by DIRECT sharded ingest onto that
+    mesh (``build_sharded``): every array lands straight in per-shard HBM,
+    so a store larger than one chip can be reloaded without ever existing
+    on a single device. A saved ``keep_host_f32`` rerank source is
+    restored; a ``fetch_vectors`` source cannot be serialized — re-attach
+    it by rebuilding from columns if needed."""
     with np.load(path) as z:
         manifest = json.loads(bytes(z["manifest"]).decode("utf-8"))
         if manifest.get("kind") != "MetaStore":
@@ -135,7 +165,14 @@ def load_meta(path: str) -> MetaStore:
         builder = builder.with_storage_dtype(
             manifest.get("storage_dtype", "float32")
         )
-        store = builder.build()
+        if manifest.get("rerank") == "keep_host_f32":
+            builder = builder.with_rerank_source(keep_host_f32=True)
+        if mesh is not None:
+            from .parallel.meta_sharded import build_sharded
+
+            store = build_sharded(builder, mesh)
+        else:
+            store = builder.build()
         if "deleted" in z:
             deleted = np.flatnonzero(np.asarray(z["deleted"]))
             if deleted.size:

@@ -1146,10 +1146,12 @@ class MetaStore:
         io.save_meta(self, path)
 
     @staticmethod
-    def load(path: str) -> "MetaStore":
+    def load(path: str, mesh=None) -> "MetaStore":
+        """Load a saved store; with ``mesh``, rebuild it by direct sharded
+        ingest onto that mesh (never staged on a single device)."""
         from . import io
 
-        return io.load_meta(path)
+        return io.load_meta(path, mesh=mesh)
 
     # -- display -------------------------------------------------------------
     def head(self) -> None:
