@@ -329,11 +329,13 @@ def test_random_store_random_filter_matches_oracle(trial):
 
 
 @pytest.mark.parametrize("trial", range(12))
-def test_random_sharded_store_matches_oracle(trial):
+def test_random_sharded_store_matches_oracle(trial, tmp_path):
     """The SPMD sharded engine under the same differential oracle: random
     stores built straight onto an 8-device mesh (4 row shards x 2 batch),
     random CNF filters over every dtype, every metric, random vec_filter,
-    plus random tombstone deletes (round-3 sharded delete_rows)."""
+    plus random mutations — tombstone deletes, compacting appends
+    (sharded append rebuilds onto the mesh), and save -> load(mesh)
+    roundtrips (direct sharded reload)."""
     from otters_tpu.parallel import make_mesh
 
     rng = np.random.default_rng(7000 + trial)
@@ -378,6 +380,33 @@ def test_random_sharded_store_matches_oracle(trial):
                           replace=False)
         store.delete_rows(dead.tolist())
         alive[dead] = False
+
+    if rng.random() < 0.35:
+        # compacting append: surviving + new rows, fresh ids — rebuild the
+        # oracle's view the same way
+        m = int(rng.integers(1, 60))
+        new_vecs = rng.normal(size=(m, d)).astype(np.float32)
+        if metric in (Metric.Hamming, Metric.Jaccard):
+            new_vecs = (new_vecs > 0).astype(np.float32)
+        new_raws = {
+            name: _random_column(name, schema[name], m, rng)[1]
+            for name in schema
+        }
+        store = store.append(new_vecs, dict(new_raws))
+        keep = np.flatnonzero(alive)
+        vectors = np.concatenate([vectors[keep], new_vecs], axis=0)
+        raws = {
+            name: [raws[name][i] for i in keep] + list(new_raws[name])
+            for name in schema
+        }
+        n = vectors.shape[0]
+        alive = np.ones(n, dtype=bool)
+
+    if rng.random() < 0.25:
+        # persistence roundtrip straight back onto the mesh
+        path = str(tmp_path / f"fuzz_{trial}.npz")
+        store.save(path)
+        store = MetaStore.load(path, mesh=mesh)
 
     leaves = [
         _random_leaf(name, schema[name], raws[name], rng)
