@@ -55,6 +55,42 @@ def main() -> None:
     print(results)
     store.print_last_query_stats()
 
+    # mutate in place: tombstone deletes, then a compacting append — both
+    # stay on the mesh (append rebuilds straight into per-shard HBM)
+    store.delete_rows([int(results.indices[0])])
+    store = store.append(
+        rng.normal(size=(4, d)).astype(np.float32),
+        {"price": [9.5, 10.5, 11.5, 12.5]},
+    )
+    print(f"after delete+append: {len(store)} rows")
+
+    # persistence at mesh scale: save gathers to one .npz; load(mesh=...)
+    # rebuilds by direct sharded ingest (no single-device staging)
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".npz")
+    store.save(path)
+    reloaded = MetaStore.load(path, mesh=mesh)
+    assert isinstance(reloaded, ShardedMetaStore)
+    r2 = (
+        reloaded.query_batch(queries, Metric.Cosine)
+        .meta_filter(col("price").lt(25.0))
+        .take(10)
+        .collect()
+    )
+    assert r2.indices == (
+        store.query_batch(queries, Metric.Cosine)
+        .meta_filter(col("price").lt(25.0))
+        .take(10)
+        .collect()
+        .indices
+    )
+    print("sharded save -> load(mesh) roundtrip: identical results")
+
+    import os
+
+    os.unlink(path)
+
 
 if __name__ == "__main__":
     main()
