@@ -66,11 +66,13 @@ def main() -> None:
 
     # persistence at mesh scale: save gathers to one .npz; load(mesh=...)
     # rebuilds by direct sharded ingest (no single-device staging)
+    import os
     import tempfile
 
-    path = tempfile.mktemp(suffix=".npz")
-    store.save(path)
-    reloaded = MetaStore.load(path, mesh=mesh)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "store.npz")
+        store.save(path)
+        reloaded = MetaStore.load(path, mesh=mesh)
     assert isinstance(reloaded, ShardedMetaStore)
     r2 = (
         reloaded.query_batch(queries, Metric.Cosine)
@@ -86,10 +88,6 @@ def main() -> None:
         .indices
     )
     print("sharded save -> load(mesh) roundtrip: identical results")
-
-    import os
-
-    os.unlink(path)
 
 
 if __name__ == "__main__":

@@ -53,10 +53,15 @@ def save_meta(store: MetaStore, path: str) -> None:
     cfg = store._rerank_config
     keep_rerank = bool(cfg is not None and cfg[1])
     if keep_rerank and store._rerank_fetch is not None:
-        # true-f32 snapshot, already in ORIGINAL ingestion order
-        vectors = np.asarray(
-            store._rerank_fetch(np.arange(n, dtype=np.int64)),
-            dtype=np.float32,
+        # true-f32 snapshot, already in ORIGINAL ingestion order; the
+        # direct ref (when present) avoids an n x d transient copy
+        vectors = (
+            store._rerank_host[:n]
+            if store._rerank_host is not None
+            else np.asarray(
+                store._rerank_fetch(np.arange(n, dtype=np.int64)),
+                dtype=np.float32,
+            )
         )
     else:
         vectors = (
@@ -168,9 +173,11 @@ def load_meta(path: str, mesh=None) -> MetaStore:
         if manifest.get("rerank") == "keep_host_f32":
             builder = builder.with_rerank_source(keep_host_f32=True)
         if mesh is not None:
-            from .parallel.meta_sharded import build_sharded
+            # unaligned chunk sizes fall back to single-device build +
+            # shard() inside the helper
+            from .parallel.meta_sharded import build_sharded_or_shard
 
-            store = build_sharded(builder, mesh)
+            store = build_sharded_or_shard(builder, mesh)
         else:
             store = builder.build()
         if "deleted" in z:

@@ -922,6 +922,8 @@ class MetaStoreBuilder:
         store._storage_dtype = self._storage_dtype
         store._rerank_fetch = rerank_fetch
         store._rerank_config = self._rerank
+        if self._rerank is not None and self._rerank[1]:
+            store._rerank_host = host_f32  # direct ref: save/append reuse it
         store._build_stats = MetaBuildStats(
             n_rows=n_rows,
             dim=dim,
@@ -965,6 +967,7 @@ class MetaStore:
         self._n_deleted = 0
         self._rerank_fetch = None  # set via builder.with_rerank_source
         self._rerank_config = None  # the builder's (fetch, keep) tuple
+        self._rerank_host = None  # keep_host_f32 snapshot (original order)
         self._plan_cache: Dict = {}
         self._aot_key_cache: Dict = {}
         self._hostmask_cache: Dict = {}
@@ -1091,10 +1094,15 @@ class MetaStore:
             )
         if cfg is not None:
             # keep_host_f32: re-source the TRUE f32 rows (original order)
-            # so the rebuilt snapshot is not the quantized storage
-            old_vecs = np.asarray(
-                self._rerank_fetch(np.arange(n, dtype=np.int64)),
-                dtype=np.float32,
+            # so the rebuilt snapshot is not the quantized storage; use the
+            # direct snapshot ref when present (no n x d transient copy)
+            old_vecs = (
+                self._rerank_host[:n]
+                if self._rerank_host is not None
+                else np.asarray(
+                    self._rerank_fetch(np.arange(n, dtype=np.int64)),
+                    dtype=np.float32,
+                )
             )
         else:
             old_vecs = np.asarray(self._dv.vectors)[:n]

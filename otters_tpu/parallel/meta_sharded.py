@@ -260,8 +260,10 @@ class ShardedMetaStore(MetaStore):
         MetaStore.append — tombstones compacted, fresh ids). The old rows
         stage through host RAM (np.asarray gathers the shards), exactly
         like the original host ingest; per-device HBM stays at shard
-        size."""
-        new = build_sharded(
+        size. Chunk sizes that don't align with the scan tile (possible on
+        shard()-created stores) fall back to single-device build +
+        re-shard."""
+        new = build_sharded_or_shard(
             self._append_builder(vectors, column_values), self.mesh
         )
         new.precision = self.precision
@@ -293,6 +295,7 @@ class ShardedMetaStore(MetaStore):
         out._storage_dtype = store._storage_dtype
         out._rerank_fetch = store._rerank_fetch
         out._rerank_config = store._rerank_config
+        out._rerank_host = store._rerank_host
 
         # re-pad rows and chunks so both axes split evenly across shards.
         # When chunk_size and SCAN_TILE have a small lcm (e.g. power-of-two
@@ -641,7 +644,7 @@ class ShardedMetaStore(MetaStore):
                 return arr[chunk_sl]
             return arr
 
-        block_list = []  # (row_start, dev, n_loc, rmask-or-None)
+        block_list = []  # (row_start, dv_loc, rmask-or-None, ev, re_)
         for row_start in sorted(blocks):
             dev, n_loc = blocks[row_start]
             row_sl = slice(row_start, row_start + n_loc)
@@ -758,6 +761,22 @@ def sharded_geometry(n_rows: int, chunk: int, n_shards: int):
     n_pad_s = max(unit, -(-max(n_rows, 1) // unit) * unit)
     n_chunks = -(-n_rows // chunk) if n_rows else 0
     return n_pad_s, n_pad_s // chunk, n_chunks
+
+
+def build_sharded_or_shard(builder, mesh) -> "ShardedMetaStore":
+    """``build_sharded`` when the chunk size aligns with the scan tile,
+    else single-device build + ``shard()`` (which supports unaligned
+    chunk geometries at the cost of staging the whole store on one device
+    first — so the fallback only works for stores that fit one chip).
+    Used by sharded ``append`` and ``load(mesh=...)`` so stores built with
+    any valid single-device chunk size stay mutable/reloadable on a mesh."""
+    import math
+
+    chunk = builder._chunk_size
+    lcm = scoring.SCAN_TILE * chunk // math.gcd(scoring.SCAN_TILE, chunk)
+    if lcm <= 4 * scoring.SCAN_TILE:
+        return build_sharded(builder, mesh)
+    return ShardedMetaStore.shard(builder.build(), mesh)
 
 
 def _row_sharding(mesh):
@@ -1182,6 +1201,8 @@ def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
     out._storage_dtype = b._storage_dtype
     out._rerank_fetch = rerank_fetch
     out._rerank_config = b._rerank
+    if b._rerank is not None and b._rerank[1]:
+        out._rerank_host = host_f32  # direct ref: save/append reuse it
     out._pallas_aligned = True
     out._build_stats = meta_mod.MetaBuildStats(
         n_rows=n_rows,

@@ -583,3 +583,42 @@ def test_build_sharded_save_load_roundtrip(tmp_path):
     got = loaded.query_batch(q, Metric.Cosine).meta_filter(expr).take(8).collect()
     assert got.indices == want.indices
     np.testing.assert_allclose(got.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
+def test_unaligned_chunk_append_and_load_fall_back(tmp_path):
+    """Stores with chunk sizes that don't align with the scan tile (legal
+    single-device configs, shardable only via shard()) still support
+    sharded append and load(mesh=...) — through the single-device-build +
+    re-shard fallback instead of a circular build_sharded error."""
+    from otters_tpu.parallel import ShardedMetaStore
+
+    rng = np.random.default_rng(37)
+    n, d = 1_000, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    price = [float(i % 40) for i in range(n)]
+    single = (
+        MetaStore.from_columns(
+            [Column("p", DataType.Float64).from_values(price)]
+        )
+        .with_vectors(vecs)
+        .with_chunk_size(100)  # lcm(100, SCAN_TILE) is huge -> unaligned
+        .build()
+    )
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = ShardedMetaStore.shard(single, mesh)
+    new_vecs = rng.normal(size=(3, d)).astype(np.float32)
+    st2 = sharded.append(new_vecs, {"p": [1.0, 2.0, 3.0]})
+    assert isinstance(st2, ShardedMetaStore)
+    assert len(st2) == n + 3
+    r = st2.query(new_vecs[0], Metric.Cosine).take(1).collect()
+    assert r.indices[0] == n and abs(r.scores[0] - 1.0) < 1e-5
+
+    path = str(tmp_path / "unaligned.npz")
+    single.save(path)
+    loaded = MetaStore.load(path, mesh=mesh)
+    assert isinstance(loaded, ShardedMetaStore)
+    q = rng.normal(size=(d,)).astype(np.float32)
+    a = loaded.query(q, Metric.Cosine).meta_filter(col("p").lt(20.0)).take(5).collect()
+    b = single.query(q, Metric.Cosine).meta_filter(col("p").lt(20.0)).take(5).collect()
+    assert a.indices == b.indices
+    np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5, atol=1e-5)
