@@ -6,6 +6,8 @@ written directly in numpy. Any divergence in surviving row sets or scores is
 a correctness bug in the device engine.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -241,7 +243,9 @@ def _oracle(
     return (order[:k] if take_min else order[::-1][:k]), mask
 
 
-@pytest.mark.parametrize("trial", range(40))
+@pytest.mark.parametrize(
+    "trial", range(int(os.environ.get("OTTERS_FUZZ_TRIALS", "40")))
+)
 def test_random_store_random_filter_matches_oracle(trial):
     rng = np.random.default_rng(1000 + trial)
     n = int(rng.integers(50, 800))
@@ -328,7 +332,9 @@ def test_random_store_random_filter_matches_oracle(trial):
     assert stats.evaluated_chunks + stats.pruned_chunks == stats.total_chunks
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize(
+    "trial", range(int(os.environ.get("OTTERS_FUZZ_SHARDED_TRIALS", "12")))
+)
 def test_random_sharded_store_matches_oracle(trial, tmp_path):
     """The SPMD sharded engine under the same differential oracle: random
     stores built straight onto an 8-device mesh (4 row shards x 2 batch),
