@@ -364,10 +364,15 @@ def run_10m(store):
     aot.wait_jit_ready(timeout=420.0)
     log(f"jit warm switch: {time.perf_counter() - t0:.1f}s")
 
-    def timed_qps(which, rounds=3):
+    disp = {}
+
+    def timed_qps(which, rounds=5):
+        # >= 5 trials per config with dispersion recorded (the round-3 1M
+        # tunnel-variance lesson, ROUND3.md): a future regression must be
+        # distinguishable from tunnel noise in the artifact itself
         dispatch(which).result()  # compile this variant
         aot.wait_jit_ready(timeout=420.0)
-        best = 0.0
+        vals = []
         for round_i in range(rounds):
             t0 = time.perf_counter()
             pending = [dispatch(which) for _ in range(TIMED_BATCHES)]
@@ -377,8 +382,9 @@ def run_10m(store):
             assert all(len(x) == K for x in results)
             log(f"10M {which} round {round_i}: {TIMED_BATCHES} x {B} q in "
                 f"{dt:.3f}s -> {qps:.1f} q/s")
-            best = max(best, qps)
-        return best
+            vals.append(qps)
+        disp[which] = _dispersion(vals)
+        return max(vals)
 
     best = timed_qps("filtered")
     # scan-only continuity metric (round-2's headline definition: k'=100
@@ -478,6 +484,11 @@ def run_10m(store):
         .take(K, rerank_from=K_WIDE)
         .collect()
     )
+    st_f = store.last_query_stats()
+    certified = st_f.certified
+    cert_kwide = st_f.scan_k_wide
+    log(f"10M int8 exactness certificate: certified={certified} "
+        f"(scan width {cert_kwide})")
     odd_chunks = np.zeros(-(-N10 // CHUNK), dtype=bool)
     odd_chunks[1::2] = True
     want_f = ground_truth_10m(q_small, odd_chunks)
@@ -499,13 +510,31 @@ def run_10m(store):
         import traceback as _tb
 
         log("unfiltered recall failed (non-fatal):\n" + _tb.format_exc())
-    return best, warm, rec, qps512, qps_unf, qps_str, rec_unf, qps_scan
+    return {
+        "qps10": best, "warm": warm, "rec": rec, "qps512": qps512,
+        "qps_unf": qps_unf, "qps_str": qps_str, "rec_unf": rec_unf,
+        "qps_scan": qps_scan, "certified": certified,
+        "cert_kwide": cert_kwide, "dispersion": disp,
+    }
 
 
 # ---- f32 configs -------------------------------------------------------------
 
 
-def run_f32(n: int, label: str) -> float:
+def _dispersion(vals):
+    """median/min/max over the trial qps values (ROUND3.md tunnel-variance
+    lesson: a single number can't be told apart from 2x tunnel noise)."""
+    import statistics
+
+    return {
+        "median": round(statistics.median(vals), 1),
+        "min": round(min(vals), 1),
+        "max": round(max(vals), 1),
+        "n": len(vals),
+    }
+
+
+def run_f32(n: int, label: str):
     import jax
     import jax.numpy as jnp
 
@@ -555,15 +584,16 @@ def run_f32(n: int, label: str) -> float:
     from otters_tpu import aot
 
     aot.wait_jit_ready(timeout=420.0)
-    best = 0.0
-    for _ in range(3):
+    vals = []
+    for _ in range(5):
         t0 = time.perf_counter()
         pending = [dispatch() for _ in range(TIMED_BATCHES)]
         results = resolve(pending)
         dt = time.perf_counter() - t0
-        best = max(best, B * TIMED_BATCHES / dt)
-    log(f"{label} f32 pipelined: {best:.1f} q/s")
-    return best
+        vals.append(B * TIMED_BATCHES / dt)
+    log(f"{label} f32 pipelined: {max(vals):.1f} q/s "
+        f"(median {_dispersion(vals)['median']})")
+    return max(vals), _dispersion(vals)
 
 
 # ---- CPU proxy ---------------------------------------------------------------
@@ -632,27 +662,29 @@ def main() -> dict:
         gc.collect()
 
     store = None
-    qps_unf = qps_str = rec_unf = qps_scan = None
+    r10 = {}
     try:
         if os.environ.get("OTTERS_BENCH_FORCE_FAIL"):  # retry-path test hook
             raise RuntimeError("forced failure (OTTERS_BENCH_FORCE_FAIL)")
         store, build_s, synth_s = build_10m()
-        (qps10, warm, rec, qps512, qps_unf, qps_str, rec_unf,
-         qps_scan) = run_10m(store)
+        r10 = run_10m(store)
+        qps10 = r10["qps10"]
+        warm, rec = r10["warm"], r10["rec"]
     except Exception:  # insurance: always emit a JSON line for the driver
         log("10M section failed:\n" + traceback.format_exc())
-        qps10 = warm = rec = build_s = qps512 = synth_s = None
+        qps10 = warm = rec = build_s = synth_s = None
     finally:
         store = None  # release the 7.7 GB store even on failure
     drain()
+    disp1 = disp4 = None
     try:
-        qps4 = run_f32(N4, "4M")
+        qps4, disp4 = run_f32(N4, "4M")
     except Exception:
         log("4M section failed:\n" + traceback.format_exc())
         qps4 = None
     drain()
     try:
-        qps1 = run_f32(N1, "1M")
+        qps1, disp1 = run_f32(N1, "1M")
     except Exception:
         log("1M section failed:\n" + traceback.format_exc())
         qps1 = None
@@ -693,6 +725,11 @@ def main() -> dict:
     if cpu_qps is None:
         cpu_qps = float("nan")
     cpu_32core = cpu_qps / cores * ref_cores
+    qps512 = r10.get("qps512")
+    qps_unf = r10.get("qps_unf")
+    qps_str = r10.get("qps_str")
+    rec_unf = r10.get("rec_unf")
+    qps_scan = r10.get("qps_scan")
     result = {
         "metric": "filtered_cosine_rerank_top10_qps_10Mx768",
         "value": round(qps10, 1),
@@ -700,6 +737,10 @@ def main() -> dict:
         "vs_baseline": round(qps10 / cpu_32core, 1),
         "extras": {
             "recall_at_10_after_rerank": round(rec, 4),
+            # int8 exactness certificate on the headline path: True means
+            # recall 1.0 BY CONSTRUCTION (round-4 verdict item 1)
+            "certified": r10.get("certified"),
+            "cert_scan_k_wide": r10.get("cert_kwide"),
             "recall_at_10_unfiltered": (
                 None if rec_unf is None else round(rec_unf, 4)
             ),
@@ -720,6 +761,12 @@ def main() -> dict:
             "qps_10Mx768_B512": None if qps512 is None else round(qps512, 1),
             "qps_4Mx768_f32_exact": None if qps4 is None else round(qps4, 1),
             "qps_1Mx768_f32_exact": None if qps1 is None else round(qps1, 1),
+            # median/min/max over >= 5 trials per config (round-4 item 8)
+            "dispersion": {
+                **(r10.get("dispersion") or {}),
+                **({"4M_f32": disp4} if disp4 else {}),
+                **({"1M_f32": disp1} if disp1 else {}),
+            },
             "cpu_proxy_qps_measured": round(cpu_qps, 2),
             "cpu_proxy_cores": cores,
             "vs_baseline_per_core": round(qps10 / (cpu_qps / cores), 1),

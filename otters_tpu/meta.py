@@ -74,6 +74,13 @@ class MetaQueryStats:
     score_duration: float
     merge_duration: float
     total_duration: float
+    # int8 exactness certificate (take(k, rerank_from=...) on int8 storage):
+    # None = certificate not applicable to this query; True = recall 1.0 by
+    # construction; False = widening hit its cap (see take() docstring)
+    certified: Optional[bool] = None
+    # scan width that produced the final candidates (>= rerank_from when the
+    # certificate auto-widened)
+    scan_k_wide: Optional[int] = None
 
 
 @dataclass
@@ -322,6 +329,7 @@ def _jit_meta_program():
             "tile",
             "chunk_size",
             "fast",
+            "certify",
         ),
     )
     def meta_query(
@@ -341,6 +349,7 @@ def _jit_meta_program():
         tile,
         chunk_size=0,
         fast=False,
+        certify=False,
     ):
         """The whole meta query as ONE device program (single dispatch):
 
@@ -348,7 +357,13 @@ def _jit_meta_program():
         MXU scoring with fused masking -> exact global top-k. This is the
         fusion of the reference's prune/score/merge phases (meta.rs:632-709)
         into a single XLA computation; nothing round-trips to the host.
+
+        certify=True (int8 + rerank): the 5th output is a sound upper bound
+        on the true cosine of every row NOT among the returned candidates
+        (see ops/pallas_topk certification notes); -inf otherwise.
         """
+        import jax.numpy as jnp
+
         n_pad = dv.vectors.shape[0]
         n_chunks = chunk_lens.shape[0]
         if plan_static:
@@ -361,6 +376,25 @@ def _jit_meta_program():
             rows_eval = chunk_lens.sum(dtype=np.int32)
             rmask = None
 
+        # certification slack for the NON-pallas int8 paths: one global term
+        # (the pallas kernel composes tighter per-bin/per-row terms itself)
+        cert_slack = None
+        thr_core = thr
+        if certify and tile != "pallas":
+            e_q = scoring.query_unit_resid(queries)
+            e_q_max = (
+                jnp.max(e_q) if queries.shape[0] else jnp.float32(0.0)
+            )
+            cert_slack = (
+                e_q_max
+                + dv.resid_max
+                + jnp.float32(scoring.int8_cert_eps(dv.vectors.shape[1]))
+            )
+            if cmp in (Cmp.Gt, Cmp.Gte):
+                # loosen so no truly passing row is dropped on its
+                # quantized score (the rerank re-applies the exact filter)
+                thr_core = thr - cert_slack
+
         args = (
             dv.vectors,
             dv.norms_sq,
@@ -368,7 +402,7 @@ def _jit_meta_program():
             dv.valid,
             queries,
             rmask,
-            thr,
+            thr_core,
         )
         kwargs = dict(metric=metric, k=k, take_min=take_min, cmp=cmp, prec=prec)
         if tile == "pallas":
@@ -384,10 +418,8 @@ def _jit_meta_program():
                     cmask, chunk_size, n_pad, t_rows
                 )
             else:
-                import jax.numpy as jnp
-
                 alive = jnp.ones(n_pad // t_rows, dtype=jnp.bool_)
-            rows, scores, ok, check = pk.pallas_topk(
+            rows, scores, ok, check, bound = pk.pallas_topk(
                 dv.vectors,
                 dv.norms_sq,
                 dv.inv_norms,
@@ -397,15 +429,16 @@ def _jit_meta_program():
                 thr,
                 alive,
                 fast=fast,
+                certify=certify,
+                resid=dv.resid if certify else None,
+                resid_bin=dv.resid_bin if certify else None,
                 **kwargs,
             )
-            return rows, scores, ok, check, evaluated, rows_eval
+            return rows, scores, ok, check, bound, evaluated, rows_eval
         if tile == "scan_pruned":
             # pruning for the VPU metrics (and any non-Pallas backend):
             # dead tiles cost neither HBM reads nor VPU work
             from .ops import pallas_topk as pk
-
-            import jax.numpy as jnp
 
             if plan_static:
                 alive = pk.tiles_alive_from_chunk_mask(
@@ -416,7 +449,10 @@ def _jit_meta_program():
             rows, scores, ok = scoring.scan_pruned_topk_core(
                 *args, alive, tile=scoring.SCAN_TILE, **kwargs
             )
-            return rows, scores, ok, jnp.bool_(True), evaluated, rows_eval
+            return (
+                rows, scores, ok, jnp.bool_(True), jnp.float32(-jnp.inf),
+                evaluated, rows_eval,
+            )
         if tile == "panel":
             rows, scores, ok = scoring.panel_topk_core(*args, **kwargs)
         elif tile == "scan":
@@ -425,9 +461,17 @@ def _jit_meta_program():
             )
         else:
             rows, scores, ok = scoring.direct_topk_core(*args, **kwargs)
-        import jax.numpy as jnp
-
-        return rows, scores, ok, jnp.bool_(True), evaluated, rows_eval
+        if certify:
+            # global-bound certificate: every unreturned candidate's
+            # quantized score <= the k-th returned one (exact global top-k);
+            # with fewer than k valid candidates EVERY passing row was
+            # returned and nothing is unexamined
+            bound = jnp.where(
+                ok[-1], scores[-1] + cert_slack, jnp.float32(-jnp.inf)
+            )
+        else:
+            bound = jnp.float32(-jnp.inf)
+        return rows, scores, ok, jnp.bool_(True), bound, evaluated, rows_eval
 
     return meta_query
 
@@ -968,9 +1012,11 @@ class MetaStore:
         self._rerank_fetch = None  # set via builder.with_rerank_source
         self._rerank_config = None  # the builder's (fetch, keep) tuple
         self._rerank_host = None  # keep_host_f32 snapshot (original order)
+        self._cert_kwide_hint = None  # narrowest scan that certified lately
         self._plan_cache: Dict = {}
         self._aot_key_cache: Dict = {}
         self._hostmask_cache: Dict = {}
+        self._str_arena_cache: Dict = {}
         self._bloom_config = ("fpr", 0.01)
         self._build_stats: Optional[MetaBuildStats] = None
         self._last_stats: Optional[MetaQueryStats] = None
@@ -1184,6 +1230,22 @@ class MetaStore:
         self.print_build_stats()
         self.print_last_query_stats()
 
+    def _column_arena(self, name: str):
+        """Packed UTF-8 (data, offsets) arena for a string column, built
+        once and cached — every extended-predicate literal on the column
+        shares it (packing 10M strings costs more than scanning them)."""
+        cached = self._str_arena_cache.get(name)
+        if cached is None:
+            from .native import pack_utf8_arena
+
+            n = self._n_rows
+            vals = self.columns()[name].values()
+            cached = pack_utf8_arena(
+                [v if isinstance(v, str) else "" for v in vals[:n]]
+            )
+            self._str_arena_cache[name] = cached
+        return cached
+
     def _hostmask_for(self, leaf):
         """Row/chunk masks for extended string predicates (contains /
         starts_with / ends_with). Strings live host-side only, so these are
@@ -1199,27 +1261,30 @@ class MetaStore:
         colo = self.columns()[leaf.column]
         n = self._n_rows
         nulls = np.asarray(colo.null_mask(), dtype=bool)[:n]
-        vals = colo.values()
         rhs = leaf.rhs
         negated = leaf.cmp in NEGATED_STRING_OPS
         base_cmp = NEGATED_CMP[leaf.cmp] if negated else leaf.cmp
-        if base_cmp is CmpOp.Contains:
-            pred = lambda v: rhs in v  # noqa: E731
-        elif base_cmp is CmpOp.StartsWith:
-            pred = lambda v: v.startswith(rhs)  # noqa: E731
-        elif base_cmp is CmpOp.EndsWith:
-            pred = lambda v: v.endswith(rhs)  # noqa: E731
+        _modes = {
+            CmpOp.Contains: "contains",
+            CmpOp.StartsWith: "starts_with",
+            CmpOp.EndsWith: "ends_with",
+        }
+        if base_cmp in _modes:
+            # native C++ arena scan (OpenMP; memchr/memcmp inner loops) or
+            # the vectorized numpy fallback — the reference's tight-loop
+            # string rows, meta_compute.rs:291-318. The arena is packed
+            # once per column and shared across literals and with fuzzy.
+            from .ops import strscan
+
+            data, offsets = self._column_arena(leaf.column)
+            m = strscan.substr_mask(data, offsets, rhs, _modes[base_cmp])
+            m = np.asarray(m, dtype=bool) & ~nulls
         else:  # Fuzzy: one vectorized (native C++ when available) pass
             from .ops import strmatch
 
             pattern, max_dist = rhs
-            m = strmatch.fuzzy_mask(vals[:n], nulls, pattern, max_dist)
-            pred = None
-        if pred is not None:
-            m = np.fromiter(
-                (not nulls[i] and pred(vals[i]) for i in range(n)),
-                bool,
-                count=n,
+            m = strmatch.fuzzy_mask(
+                colo.values()[:n], nulls, pattern, max_dist
             )
         if negated:
             # De Morgan leaves keep the nulls-excluded convention
@@ -1275,12 +1340,12 @@ class MetaStore:
             row_mask=rmask,
             prec=self.precision,
         )
-        return rows, scores, valid, np.bool_(True), ev, re_
+        return rows, scores, valid, np.bool_(True), np.float32(-np.inf), ev, re_
 
     # -- device program hook (overridden by ShardedMetaStore) ----------------
     def _prepare_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
-        take_min, cmp, strict=False,
+        take_min, cmp, strict=False, certify=False,
     ):
         """-> (compiled_executable, dynamic_args). Routed through the AOT
         cache (otters_tpu.aot): the first compile per signature persists the
@@ -1321,6 +1386,17 @@ class MetaStore:
                     and dv.vectors.dtype != jnp.int8
                     and pk.fast_ok(metric, take_min, cmp, k_eff, self.precision)
                 )
+        certify = (
+            certify
+            and not strict
+            and dv.vectors.dtype == jnp.int8
+            and dv.resid is not None
+            and metric is Metric.Cosine
+            and not take_min
+            and cmp in (None, Cmp.Gt, Cmp.Gte)
+            and tile != "scan_pruned"  # its program returns no bound
+            and (tile != "pallas" or dv.resid_bin is not None)
+        )
         static_kwargs = dict(
             plan_static=plan_static,
             metric=metric,
@@ -1331,6 +1407,7 @@ class MetaStore:
             tile=tile,
             chunk_size=self._chunk_size,
             fast=fast,
+            certify=certify,
         )
         args = (
             dv,
@@ -1348,7 +1425,7 @@ class MetaStore:
         # given store; memoize it so steady-state dispatch skips the pytree
         # flatten + sha256 on every query
         memo = (plan_static, queries.shape[0], str(queries.dtype), k_eff,
-                metric, take_min, cmp, self.precision, tile, fast)
+                metric, take_min, cmp, self.precision, tile, fast, certify)
         key = self._aot_key_cache.get(memo)
         if key is None:
             key = aot.signature(
@@ -1373,13 +1450,26 @@ class MetaStore:
 
     def _run_query_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
-        take_min, cmp, strict=False,
+        take_min, cmp, strict=False, certify=False,
     ):
         compiled, args = self._prepare_program(
             cols_sub, queries, plan_params, thr, plan_static, metric, k,
-            take_min, cmp, strict=strict,
+            take_min, cmp, strict=strict, certify=certify,
         )
         return compiled(*args)
+
+    def _certify_supported(self, metric, take_min, cmp) -> bool:
+        """Can the int8 exactness certificate cover this plan shape?"""
+        import jax.numpy as jnp
+
+        dv = self._dv
+        return (
+            dv.vectors.dtype == jnp.int8
+            and dv.resid is not None
+            and metric is Metric.Cosine
+            and not take_min
+            and cmp in (None, Cmp.Gt, Cmp.Gte)
+        )
 
     def _run_exact_mask_query(
         self, queries, exact_mask, metric, k, take_min, cmp, thr
@@ -1525,6 +1615,7 @@ class MetaQueryPlan:
         self._take_type: Optional[TakeType] = None
         self._take_count: Optional[int] = None
         self._rerank_from: Optional[int] = None
+        self._certify: Optional[bool] = None  # see take(); None = auto
 
     def meta_filter(self, expr: Expr) -> "MetaQueryPlan":
         try:
@@ -1538,11 +1629,29 @@ class MetaQueryPlan:
         self._vec_filter = (float(score), cmp)
         return self
 
-    def take(self, k: int, rerank_from: Optional[int] = None) -> "MetaQueryPlan":
+    def take(
+        self,
+        k: int,
+        rerank_from: Optional[int] = None,
+        certify: Optional[bool] = None,
+    ) -> "MetaQueryPlan":
         """Keep the top ``k``. With ``rerank_from=k_wide`` (requires
         ``with_rerank_source`` on the builder), the device scan collects
         ``k_wide`` candidates and the final ``k`` are exact-f32 re-scored
-        against the true vectors — recall recovery for bf16/int8 storage."""
+        against the true vectors — recall recovery for bf16/int8 storage.
+
+        ``certify`` controls the int8 exactness certificate (recall 1.0 BY
+        CONSTRUCTION, not by measurement — the reference's core promise,
+        README.md:7-14, kept even over quantized storage): the scan also
+        returns a sound upper bound on the true cosine of every row it did
+        NOT hand to the rerank; ``result()`` compares it against the k-th
+        exact rerank score and, on failure, automatically re-runs with a
+        4x-wider candidate set until the certificate passes (the store
+        remembers the working width for later queries). ``None`` (default)
+        auto-enables for int8 + Cosine + rerank with a certifiable filter
+        shape (no vec_filter, or Gt/Gte); False disables (round-3 measured
+        behavior); True raises if the plan shape cannot be certified.
+        ``MetaQueryStats.certified`` / ``scan_k_wide`` report the outcome."""
         self._take_count = int(k)
         self._take_type = default_take_type(self._metric)
         if rerank_from is not None:
@@ -1552,6 +1661,7 @@ class MetaQueryPlan:
                     f"rerank_from ({rf}) must be >= take k ({int(k)})"
                 )
             self._rerank_from = rf
+        self._certify = certify
         return self
 
     # -- leaf lowering --------------------------------------------------------
@@ -1772,6 +1882,7 @@ class MetaQueryPlan:
         score_start = time.perf_counter()
         raw = None
         strict_redo = None
+        rerun_widened = None
         fetched = None
         if store.n_rows > 0 and k > 0 and b > 0:
             if queries.shape[1] != store._dim:
@@ -1781,6 +1892,28 @@ class MetaQueryPlan:
                 )
             thr, cmp = (None, None) if self._vec_filter is None else self._vec_filter
             n_pad = store._dv.vectors.shape[0]
+
+            # int8 exactness certificate (see take() docstring)
+            certify = False
+            if self._rerank_from is not None and self._certify is not False:
+                supported = store._certify_supported(
+                    self._metric,
+                    (take_type is TakeType.Min),
+                    None if thr is None else cmp,
+                )
+                if self._certify is True and not supported:
+                    raise OttersError(
+                        "take(certify=True): the int8 exactness certificate "
+                        "requires int8 storage, the Cosine metric, and no "
+                        "vec_filter (or a Gt/Gte one)"
+                    )
+                certify = supported
+                if certify:
+                    # start at the widest scan that recently certified on
+                    # this store — re-running a known-too-narrow scan just
+                    # to fail its certificate wastes a full dispatch
+                    k = min(max(k, store._cert_kwide_hint or 0), n_pad)
+
             k_eff = min(k, b * n_pad)
             if store._supports_windowed and scoring.needs_windowed(
                 n_pad, b, k_eff
@@ -1793,7 +1926,7 @@ class MetaQueryPlan:
                 )
             else:
 
-                def run(strict=False):
+                def run(strict=False, k_run=k):
                     return store._run_query_program(
                         cols_sub,
                         queries,
@@ -1801,14 +1934,16 @@ class MetaQueryPlan:
                         0.0 if thr is None else thr,
                         plan_static,
                         self._metric,
-                        k,
+                        k_run,
                         (take_type is TakeType.Min),
                         None if thr is None else cmp,
                         strict=strict,
+                        certify=certify,
                     )
 
                 raw = run()
                 strict_redo = partial(run, strict=True)
+                rerun_widened = run if certify else None
         p = PendingMetaQuery(
             plan=self,
             raw=raw,
@@ -1821,6 +1956,7 @@ class MetaQueryPlan:
             score_start=score_start,
             strict_redo=strict_redo,
         )
+        p._rerun_widened = rerun_widened
         if fetched is not None:
             p._fetched = fetched
         return p
@@ -1838,6 +1974,46 @@ class MetaQueryPlan:
             cols_sub, queries, plan_params, plan_static, k_eff,
             self._metric, (take_type is TakeType.Min), thr, cmp,
         )
+
+
+def _cert_kwide_cap() -> int:
+    """Widest scan the int8 certificate auto-widen loop will try.
+
+    Beyond this the query is answered (exactly per the quantized-scan +
+    exact-rerank contract) but reported uncertified; OTTERS_CERT_KWIDE_MAX
+    raises it for adversarial data."""
+    import os
+
+    return int(os.environ.get("OTTERS_CERT_KWIDE_MAX", "4096"))
+
+
+def _cert_ok(bound, scores, k_final, vec_filter) -> bool:
+    """Host-side int8 certificate decision.
+
+    ``bound``: sound upper bound on the TRUE cosine of every row the scan
+    did not return (-inf when everything passing was returned). ``scores``:
+    exact rerank scores, descending, truncated to ``k_final``. The result
+    is certified-complete iff no unreturned row could enter it:
+      - k results: the k-th exact score must reach the bound. ``bound``
+        carries a strictly positive inflation (resid floor + int8_cert_eps)
+        over any unreturned row's true score, so ``kth >= bound`` implies
+        the k-th STRICTLY beats every unreturned row — a tie against the
+        bound is still a strict win against the rows it covers;
+      - fewer than k results: every unreturned row must provably FAIL the
+        score filter (or nothing may be unreturned at all)."""
+    bnd = float(bound)
+    if len(scores) >= int(k_final):
+        return float(scores[int(k_final) - 1]) >= bnd
+    if bnd == float("-inf"):
+        return True
+    if vec_filter is None:
+        return False
+    thr, cmp = vec_filter
+    if cmp is Cmp.Gte:
+        return bnd < float(thr)
+    if cmp is Cmp.Gt:
+        return bnd <= float(thr)
+    return False
 
 
 class PendingMetaQuery:
@@ -1870,6 +2046,9 @@ class PendingMetaQuery:
         self._fetched = None
         self._rerank_prefetch = None  # set by resolve(): (id->row, matrix)
         self._device_rerank = None  # set by resolve(): (cand set, rows, scores)
+        self._rerun_widened = None  # set when the int8 certificate is active
+        self._certified: Optional[bool] = None  # certificate outcome
+        self._scan_k_wide: Optional[int] = None  # final scan width used
 
     def _exact_rerank(self, indices):
         """Exact-f32 re-rank of the widened candidate set (the library form
@@ -1934,19 +2113,19 @@ class PendingMetaQuery:
         rows_eval = store.n_rows
         if self._raw is not None:
             # one batched device->host fetch for all outputs
-            rows, scrs, valid, check, ev, re_ = (
+            rows, scrs, valid, check, bound, ev, re_ = (
                 self._fetched
                 if self._fetched is not None
                 else jax.device_get(self._raw)
             )
             if not bool(check) and self._strict_redo is not None:
                 # verified fast-exact check failed; re-run at HIGHEST
-                rows, scrs, valid, _, ev, re_ = jax.device_get(
+                rows, scrs, valid, _, bound, ev, re_ = jax.device_get(
                     self._strict_redo()
                 )
             # keep the final raw values around: the single-pending device
             # rerank below reads them (resolve() pre-sets them for groups)
-            self._fetched = (rows, scrs, valid, check, ev, re_)
+            self._fetched = (rows, scrs, valid, check, bound, ev, re_)
             evaluated = int(ev)
             rows_eval = int(re_)
             ok_np = np.asarray(valid, dtype=bool)
@@ -1955,6 +2134,7 @@ class PendingMetaQuery:
 
             # exactness guard: verify string-predicate hits host-side; on a
             # hash collision re-run with an exact host row mask (p ~ 2^-64)
+            collision_redo = False
             if self._has_filter and any(
                 lf.kind == "string"
                 for cl in plan._meta_filter.clauses
@@ -1988,7 +2168,8 @@ class PendingMetaQuery:
                     ok_np = np.asarray(valid, dtype=bool)
                     indices = np.asarray(rows)[ok_np].astype(np.int64).tolist()
                     scores = np.asarray(scrs)[ok_np].tolist()
-                    self._fetched = (rows, scrs, valid, check, ev, re_)
+                    self._fetched = (rows, scrs, valid, check, bound, ev, re_)
+                    collision_redo = True
 
             if plan._rerank_from is not None and indices:
                 done = False
@@ -2027,6 +2208,93 @@ class PendingMetaQuery:
                         done = True
                 if not done:
                     indices, scores = self._exact_rerank(indices)
+
+                if self._rerun_widened is not None:
+                    # int8 exactness certificate: the k-th exact rerank
+                    # score must beat the sound bound on every row the scan
+                    # did NOT hand to the rerank; otherwise re-scan 4x wider
+                    # (recall 1.0 by construction — see take() docstring)
+                    k_used = self._k
+                    certified = (not collision_redo) and _cert_ok(
+                        bound, scores, plan._take_count, plan._vec_filter
+                    )
+                    n_pad = store._dv.vectors.shape[0]
+                    cap = min(n_pad, _cert_kwide_cap())
+                    if collision_redo:
+                        cap = 0  # exact-mask result; scan bound is stale
+                    while not certified and k_used < cap:
+                        k_used = min(max(k_used * 4, k_used + 1), cap)
+                        raw2 = self._rerun_widened(k_run=k_used)
+                        rows, scrs, valid, _, bound, ev, re_ = jax.device_get(
+                            raw2
+                        )
+                        evaluated = int(ev)
+                        rows_eval = int(re_)
+                        ok_np = np.asarray(valid, dtype=bool)
+                        indices = (
+                            np.asarray(rows)[ok_np].astype(np.int64).tolist()
+                        )
+                        collided = (
+                            self._has_filter
+                            and any(
+                                lf.kind == "string"
+                                for cl in plan._meta_filter.clauses
+                                for lf in cl
+                            )
+                            and not all(
+                                plan._row_satisfies(i) for i in indices
+                            )
+                        )
+                        self._rerank_prefetch = None
+                        self._device_rerank = None
+                        if collided:
+                            # hash collision inside the widened set (p ~
+                            # 2^-64): redo with the exact host row mask —
+                            # results stay exact, but the scan bound no
+                            # longer speaks about this candidate set, so
+                            # the certificate is abandoned
+                            thr_c, cmp_c = (
+                                (None, None)
+                                if plan._vec_filter is None
+                                else plan._vec_filter
+                            )
+                            em = plan._host_exact_row_mask(n_pad)
+                            rows, scrs, valid = store._run_exact_mask_query(
+                                self._queries, em, plan._metric, k_used,
+                                (self._take_type is TakeType.Min), cmp_c,
+                                thr_c,
+                            )
+                            ok_np = np.asarray(valid, dtype=bool)
+                            indices = (
+                                np.asarray(rows)[ok_np]
+                                .astype(np.int64)
+                                .tolist()
+                            )
+                            indices, scores = self._exact_rerank(indices)
+                            certified = False
+                            break
+                        indices, scores = self._exact_rerank(indices)
+                        certified = _cert_ok(
+                            bound, scores, plan._take_count, plan._vec_filter
+                        )
+                    self._certified = certified
+                    self._scan_k_wide = k_used
+                    if certified and k_used > (
+                        store._cert_kwide_hint or 0
+                    ) and k_used > self._k:
+                        store._cert_kwide_hint = k_used
+                    if not certified:
+                        import warnings
+
+                        warnings.warn(
+                            "int8 exactness certificate did not pass at "
+                            f"scan width {k_used} (cap {cap}); results "
+                            "match the quantized-scan + exact-rerank "
+                            "contract but recall 1.0 is not certified for "
+                            "this query. Raise OTTERS_CERT_KWIDE_MAX or "
+                            "widen rerank_from.",
+                            stacklevel=2,
+                        )
         score_dur = time.perf_counter() - self._score_start
 
         # ---- merge phase: result-column materialization (host) ----
@@ -2061,6 +2329,8 @@ class PendingMetaQuery:
             score_duration=score_dur,
             merge_duration=merge_dur,
             total_duration=time.perf_counter() - self._total_start,
+            certified=self._certified,
+            scan_k_wide=self._scan_k_wide,
         )
         if store._index_map is not None:
             # sorted store: report ORIGINAL ingestion-order row ids

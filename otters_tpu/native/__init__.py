@@ -95,6 +95,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.otters_fuzzy_mask.restype = None
     except AttributeError:
         pass  # stale cached .so from before the fuzzy kernel existed
+    try:
+        lib.otters_substr_mask.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.otters_substr_mask.restype = None
+    except AttributeError:
+        pass  # stale cached .so from before the substring kernel existed
     _lib = lib
     return _lib
 
@@ -159,6 +167,37 @@ def bloom_build(
         n_chunks, words, bits, k, matrix.ctypes.data,
     )
     return matrix.reshape(n_chunks, words)
+
+
+_SUBSTR_MODES = {"contains": 0, "starts_with": 1, "ends_with": 2}
+
+
+def substr_mask_arena(
+    data: np.ndarray, offsets: np.ndarray, pattern: str, mode: str
+):
+    """uint8[n] substring/prefix/suffix mask over a packed UTF-8 arena
+    (``pack_utf8_arena`` layout); None if the native lib lacks the kernel.
+
+    Semantics match Python's ``pattern in s`` / ``s.startswith`` /
+    ``s.endswith`` on the same strings (byte-level comparison is exact for
+    whole-pattern UTF-8 matching). Nulls are the CALLER's job to mask."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "otters_substr_mask"):
+        return None
+    n = len(offsets) - 1
+    pat = np.frombuffer(pattern.encode("utf-8"), dtype=np.uint8)
+    plen = len(pat)
+    pat = np.ascontiguousarray(pat) if plen else np.zeros(1, np.uint8)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    if not len(data):
+        data = np.zeros(1, np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.zeros(n, dtype=np.uint8)
+    lib.otters_substr_mask(
+        data.ctypes.data, offsets.ctypes.data, n,
+        pat.ctypes.data, plen, _SUBSTR_MODES[mode], out.ctypes.data,
+    )
+    return out
 
 
 def fuzzy_mask(strings: Sequence[str], pattern: str, max_dist: int):

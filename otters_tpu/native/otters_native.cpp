@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstddef>
+#include <cstring>
 
 namespace {
 
@@ -130,6 +131,57 @@ void otters_fuzzy_mask(const uint8_t* data, const int64_t* offsets, int64_t n,
     int64_t fc = plen - slen + kk;
     int64_t d = (fc >= 0 && fc < w) ? prev[fc] : BIG;
     out[i] = (alive || slen == 0) && d <= k ? 1 : 0;
+  }
+}
+
+// Extended string predicates over the UTF-8 arena (contains / starts_with /
+// ends_with). The reference evaluates string rows in tight Rust loops
+// (meta_compute.rs:291-318); this is the equivalent for the host-side
+// predicates that cannot run on device. mode: 0=contains, 1=starts_with,
+// 2=ends_with. Matches Python str semantics on the SAME UTF-8 bytes: an
+// empty pattern matches every (non-null) row; nulls are masked out by the
+// caller. Byte-level search is exact for UTF-8 substring/prefix/suffix
+// because UTF-8 is self-synchronizing for whole-string patterns.
+void otters_substr_mask(const uint8_t* data, const int64_t* offsets,
+                        int64_t n, const uint8_t* pat, int64_t plen,
+                        int64_t mode, uint8_t* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* s = data + offsets[i];
+    const int64_t slen = offsets[i + 1] - offsets[i];
+    if (plen == 0) {
+      out[i] = 1;
+      continue;
+    }
+    if (slen < plen) {
+      out[i] = 0;
+      continue;
+    }
+    if (mode == 1) {  // starts_with
+      out[i] = std::memcmp(s, pat, static_cast<size_t>(plen)) == 0;
+    } else if (mode == 2) {  // ends_with
+      out[i] =
+          std::memcmp(s + slen - plen, pat, static_cast<size_t>(plen)) == 0;
+    } else {  // contains: memchr on the first byte, then memcmp the rest
+      const uint8_t first = pat[0];
+      const uint8_t* cur = s;
+      const uint8_t* end = s + slen - plen + 1;
+      uint8_t hit = 0;
+      while (cur < end) {
+        const uint8_t* c = static_cast<const uint8_t*>(
+            std::memchr(cur, first, static_cast<size_t>(end - cur)));
+        if (c == nullptr) break;
+        if (plen == 1 ||
+            std::memcmp(c + 1, pat + 1, static_cast<size_t>(plen - 1)) == 0) {
+          hit = 1;
+          break;
+        }
+        cur = c + 1;
+      }
+      out[i] = hit;
+    }
   }
 }
 

@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import VPU_METRICS, Cmp, Metric
 from .scoring import (
+    CERT_BIN,
     _filter_ok,
     _precision,
     _query_norms,
@@ -42,6 +43,7 @@ from .scoring import (
 )
 
 BIN = 512
+assert BIN == CERT_BIN  # resid_bin granularity must match the kernel's bins
 LANE = 128
 SUBLANE = 8
 # Phase-2 strategy switch: up to this many candidate bins, a lax.scan of
@@ -231,7 +233,8 @@ def fast_ok(metric: Metric, take_min: bool, cmp, k: int, prec: str) -> bool:
 @partial(
     jax.jit,
     static_argnames=(
-        "metric", "k", "take_min", "cmp", "prec", "interpret", "fast"
+        "metric", "k", "take_min", "cmp", "prec", "interpret", "fast",
+        "certify",
     ),
 )
 def _pallas_topk_jit(
@@ -252,6 +255,9 @@ def _pallas_topk_jit(
     interpret: bool = False,
     fast: bool = False,
     q_valid=None,
+    certify: bool = False,
+    resid=None,
+    resid_bin=None,
 ):
     """Fused pruned scoring + exact top-k.
 
@@ -267,17 +273,36 @@ def _pallas_topk_jit(
     beats every unselected bin's HIGH max plus C — then no unexamined row
     can belong to the true top-k. On False, callers re-run with fast=False.
 
-    Returns (rows[k], scores[k], valid[k], check).
+    certify=True (int8 Cosine + take-max only): additionally returns a sound
+    upper bound on the TRUE (unquantized f32) cosine of every row NOT in the
+    returned candidate set — callers compare it against the k-th exact
+    rerank score to certify recall 1.0 by construction (see
+    MetaQueryPlan.take(k, rerank_from=...)). The bound composes the
+    quantized bin maxima with per-512-row-bin residual maxima (``resid_bin``,
+    built at quantization time), per-candidate residuals (``resid``) for
+    examined-but-unreturned rows, the query-side residual, and f32
+    arithmetic headroom (scoring.int8_cert_eps). With a Gt/Gte score filter
+    the phase-1 threshold is loosened by the global slack so no truly
+    passing row is excluded by its quantized score.
+
+    Returns (rows[k], scores[k], valid[k], check, bound).
     """
     n_pad, d = vectors.shape
     b = queries.shape[0]
     int8_mode = vectors.dtype == jnp.int8
     q_int8 = None
+    e_q = None
+    if certify:
+        assert int8_mode and metric is Metric.Cosine and not take_min
+        assert cmp in (None, Cmp.Gt, Cmp.Gte)
+        assert resid is not None and resid_bin is not None
     if int8_mode:
         # quantized-cosine storage: quantize the queries symmetrically; both
         # phases run native int8 x int8 -> int32 MXU dots (exact at any d)
-        from .scoring import _quantize_rows_int8
+        from .scoring import _quantize_rows_int8, query_unit_resid
 
+        if certify:
+            e_q = query_unit_resid(queries)  # [b] sound query-side residual
         q_int8, _, _ = _quantize_rows_int8(queries)
         queries = q_int8.astype(jnp.float32)  # for norms / qaux only
     b_pad = _pad_b(b)
@@ -328,6 +353,24 @@ def _pallas_topk_jit(
             thr1 = thr - slack
         elif cmp in (Cmp.Lt, Cmp.Lte):
             thr1 = thr + slack
+        else:
+            thr1 = thr
+    elif certify:
+        from .scoring import int8_cert_eps
+
+        cert_eps = jnp.float32(int8_cert_eps(d))
+        if q_valid is not None:
+            e_q = jnp.where(q_valid, e_q, 0.0)
+        e_q_max = jnp.max(e_q) if b else jnp.float32(0.0)
+        # global slack: covers any (query, row) pair — used ONLY to loosen
+        # the score filter (the bound itself uses per-bin/per-row residuals)
+        slack_g = e_q_max + jnp.max(resid_bin) + cert_eps
+        slack = jnp.float32(0.0)
+        prec1 = prec
+        if cmp in (Cmp.Gt, Cmp.Gte):
+            # no row whose TRUE score passes thr may be dropped by its
+            # quantized score: quantized >= true - slack_g > thr - slack_g
+            thr1 = thr - slack_g
         else:
             thr1 = thr
     else:
@@ -435,6 +478,21 @@ def _pallas_topk_jit(
         kb = min(k, n_slots)
         boundary = jnp.float32(-jnp.inf)
         _, top_slots = exact_topk_flat(flat, kb)
+    bound1 = jnp.float32(-jnp.inf)
+    eqp = None
+    if certify:
+        # phase-1 term of the certificate: for every UNSELECTED (and live)
+        # bin, its quantized bin max + that bin's residual max + the slot's
+        # query-side residual bounds the true cosine of any row it holds
+        rb_surv = resid_bin.reshape(n_tiles, nb)[surv]  # [n_tiles, nb]
+        eqp = jnp.zeros((bo,), jnp.float32).at[:b].set(e_q)
+        adj = (
+            flat.reshape(n_tiles, nb, bo)
+            + rb_surv[:, :, None]
+            + eqp[None, None, :]
+        )
+        adjf = adj.reshape(-1).at[top_slots].set(-jnp.inf)
+        bound1 = jnp.max(adjf)
     gsel = top_slots // (nb * bo)
     jsel = (top_slots // bo) % nb
     qsel = top_slots % bo
@@ -484,6 +542,8 @@ def _pallas_topk_jit(
         )
         if row_mask is not None:
             out = out + (row_mask[rows_flat].reshape(kb, BIN),)
+        if certify:
+            out = out + (resid[rows_flat].reshape(kb, BIN),)
         return out
 
     def _bin_slices(carry, sq):
@@ -513,6 +573,8 @@ def _pallas_topk_jit(
         )
         if row_mask is not None:
             out = out + (jax.lax.dynamic_slice(row_mask, (s,), (BIN,)),)
+        if certify:
+            out = out + (jax.lax.dynamic_slice(resid, (s,), (BIN,)),)
         return carry, out
 
     if kb > PHASE2_SCAN_MAX_BINS:
@@ -537,7 +599,9 @@ def _pallas_topk_jit(
         qv_pad = jnp.zeros((b_pad,), jnp.bool_).at[:b].set(q_valid)
         ok = ok & qv_pad[qsel_c][:, None]
     if cmp is not None:
-        ok = ok & _filter_ok(scores, thr, cmp)
+        # certify: phase-2 scores are still quantized — keep the loosened
+        # threshold so no truly passing row is dropped before the rerank
+        ok = ok & _filter_ok(scores, thr1 if certify else thr, cmp)
     key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
     if take_min:
         key = -key
@@ -552,7 +616,18 @@ def _pallas_topk_jit(
         check = top_keys[-1] >= boundary + slack
     else:
         check = jnp.bool_(True)
-    return out_rows, out_scores, out_ok, check
+    if certify:
+        # phase-2 term: examined rows NOT returned as candidates, with
+        # their own per-row residuals (tighter than the bin max)
+        resid_rows = sliced[-1]
+        adj2 = jnp.where(
+            ok, scores + resid_rows + eqp[qsel_c][:, None], -jnp.inf
+        )
+        adj2f = adj2.reshape(-1).at[sel].set(-jnp.inf)
+        bound = jnp.maximum(bound1, jnp.max(adj2f)) + cert_eps
+    else:
+        bound = jnp.float32(-jnp.inf)
+    return out_rows, out_scores, out_ok, check, bound
 
 
 def q_inv_pad(q_inv, b_pad):
@@ -589,6 +664,9 @@ def pallas_topk(
     interpret: bool = False,
     fast: bool = False,
     q_valid=None,
+    certify: bool = False,
+    resid=None,
+    resid_bin=None,
 ):
     """Public entry: resolves OTTERS_PALLAS_INTERPRET OUTSIDE the jit so the
     flag participates in the jit cache key (reading it inside the traced
@@ -611,6 +689,9 @@ def pallas_topk(
         interpret=interpret or interpret_forced(),
         fast=fast,
         q_valid=q_valid,
+        certify=certify,
+        resid=resid,
+        resid_bin=resid_bin,
     )
 
 

@@ -53,12 +53,25 @@ class DeviceVecs(NamedTuple):
     inv_norms: [N_pad]    float32, 1/||v|| with 0 for zero-norm rows
                 (matches vec.rs:365-367)
     valid    : [N_pad]    bool, False for padding rows
+
+    int8 stores additionally carry sound per-row quantization-residual
+    bounds (the certified-exact machinery; see int8 certification notes in
+    ops/pallas_topk.py):
+
+    resid    : [N_pad] f32, >= ||v/||v|| - v8/||v8|||| per row (0 padding)
+    resid_bin: [N_pad/512] f32, per-512-row-bin max of resid (None when
+               N_pad is not 512-aligned — the pallas path is ineligible
+               there anyway)
+    resid_max: [] f32 scalar, max over valid rows
     """
 
     vectors: jax.Array
     norms_sq: jax.Array
     inv_norms: jax.Array
     valid: jax.Array
+    resid: Optional[jax.Array] = None
+    resid_bin: Optional[jax.Array] = None
+    resid_max: Optional[jax.Array] = None
 
 
 def pad_rows(n: int) -> int:
@@ -96,9 +109,11 @@ def _materialize_int8(vecs_f32: jax.Array, n_valid: int) -> DeviceVecs:
     otters_tpu.evaluate.recall_at_k to quantify on your data). Cosine-only.
     """
     n_pad = vecs_f32.shape[0]
-    v8, norms_sq, inv = _quantize_rows_int8(vecs_f32)
+    v8, norms_sq, inv, resid = _quantize_rows_int8_resid(vecs_f32)
     valid = jnp.arange(n_pad, dtype=jnp.int32) < n_valid
-    return DeviceVecs(v8, norms_sq, inv, valid)
+    resid = jnp.where(valid, resid, 0.0)
+    rbin, rmax = finalize_resid(resid)
+    return DeviceVecs(v8, norms_sq, inv, valid, resid, rbin, rmax)
 
 
 @jax.jit
@@ -111,6 +126,72 @@ def _quantize_rows_int8(vecs):
     norms = jnp.sqrt(norms_sq)
     inv = jnp.where(norms != 0.0, 1.0 / norms, 0.0)
     return v8, norms_sq, inv
+
+
+# certificate bin width; must equal ops.pallas_topk.BIN (asserted there)
+CERT_BIN = 512
+
+
+def unit_resid(a32, b32, inv_a, inv_b):
+    """Sound per-row bound on ||a/||a|| - b/||b|||| in f32.
+
+    Computed as the direct norm of the unit-vector difference (NOT via
+    sqrt(2-2cos), whose cancellation near cos=1 amplifies the f32 rounding
+    of the cosine by 1/resid). Forward error: forming u costs ~2 ulp per
+    element relative to the ELEMENT magnitudes (O(1/sqrt(d))), the
+    sum-of-squares accumulates gamma_d ~ d*2^-24 relative; both are covered
+    by the (1 + 1e-4) inflation + 1e-6 floor. Zero-norm rows (either side)
+    get 0: both score paths define their cosine as 0 exactly."""
+    u = a32 * inv_a[:, None] - b32 * inv_b[:, None]
+    r = jnp.sqrt(jnp.sum(u * u, axis=1))
+    zero = (inv_a == 0.0) | (inv_b == 0.0)
+    return jnp.where(zero, 0.0, r * jnp.float32(1.0 + 1e-4) + jnp.float32(1e-6))
+
+
+@jax.jit
+def _quantize_rows_int8_resid(vecs):
+    """Quantize + sound per-row residual bound (certified-exact int8)."""
+    v8, norms_sq, inv8 = _quantize_rows_int8(vecs)
+    v32 = vecs.astype(jnp.float32)
+    nv = jnp.sqrt(jnp.sum(v32 * v32, axis=1))
+    inv_v = jnp.where(nv != 0.0, 1.0 / nv, 0.0)
+    resid = unit_resid(v32, v8.astype(jnp.float32), inv_v, inv8)
+    return v8, norms_sq, inv8, resid
+
+
+@jax.jit
+def query_unit_resid(queries):
+    """[B] sound bounds on the query-side quantization residual.
+
+    Must quantize EXACTLY like the scoring paths (_score_block /
+    _pallas_topk_jit) so the bound covers the codes actually dispatched:
+    same jitted arithmetic on the same backend is deterministic."""
+    q32 = jnp.asarray(queries, dtype=jnp.float32)
+    q8, _, qi8 = _quantize_rows_int8(q32)
+    nq = jnp.sqrt(jnp.sum(q32 * q32, axis=1))
+    inv_q = jnp.where(nq != 0.0, 1.0 / nq, 0.0)
+    return unit_resid(q32, q8.astype(jnp.float32), inv_q, qi8)
+
+
+def finalize_resid(resid):
+    """-> (resid_bin | None, resid_max) from a [N_pad] residual array."""
+    n_pad = resid.shape[0]
+    rmax = jnp.max(resid) if n_pad else jnp.float32(0.0)
+    rbin = None
+    if n_pad and n_pad % CERT_BIN == 0:
+        rbin = jnp.max(resid.reshape(-1, CERT_BIN), axis=1)
+    return rbin, rmax
+
+
+def int8_cert_eps(d: int) -> float:
+    """Arithmetic headroom added to the int8 certificate bound.
+
+    Covers (a) the f32 rounding of the quantized cosine (int32 dot exact for
+    d*127^2 < 2^24-scale magnitudes; two inv-norm multiplies ~ 4 ulp of a
+    score <= 1) and (b) the gap between the mathematical cosine the residual
+    bound speaks about and the f32-HIGHEST rerank arithmetic the certificate
+    compares against, on both sides: ~2 * gamma_d, gamma_d ~= d * 2^-24."""
+    return 2.0 * d * 2.0**-24 + 2.0e-6
 
 
 def materialize_from_device(
@@ -139,18 +220,19 @@ def materialize_from_device(
     return DeviceVecs(vecs, norms_sq, inv_norms, valid)
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
-def _int8_ingest_slab(buf8, norms_sq, inv, slab_f32, start):
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _int8_ingest_slab(buf8, norms_sq, inv, resid, slab_f32, start):
     """Quantize one f32 slab and write it into the donated int8 buffers.
 
     ``start`` is a traced scalar so every slab reuses one compilation; the
     donated buffers make the update in-place (no second 10M-row copy in HBM).
     """
-    v8, nsq, iv = _quantize_rows_int8(slab_f32)
+    v8, nsq, iv, rs = _quantize_rows_int8_resid(slab_f32)
     buf8 = jax.lax.dynamic_update_slice(buf8, v8, (start, 0))
     norms_sq = jax.lax.dynamic_update_slice(norms_sq, nsq, (start,))
     inv = jax.lax.dynamic_update_slice(inv, iv, (start,))
-    return buf8, norms_sq, inv
+    resid = jax.lax.dynamic_update_slice(resid, rs, (start,))
+    return buf8, norms_sq, inv, resid
 
 
 def materialize_int8_slabs(slab_fn, n: int, d: int, slab_rows: int) -> DeviceVecs:
@@ -168,19 +250,22 @@ def materialize_int8_slabs(slab_fn, n: int, d: int, slab_rows: int) -> DeviceVec
     buf8 = _jnp.zeros((n_pad, d), _jnp.int8)
     norms_sq = _jnp.zeros((n_pad,), _jnp.float32)
     inv = _jnp.zeros((n_pad,), _jnp.float32)
+    resid = _jnp.zeros((n_pad,), _jnp.float32)
     slab_rows = min(slab_rows, n_pad)
     # full slabs share one compilation (traced start); the odd-size tail
     # pays one extra compile for its own shape
     for start in range(0, n_pad, slab_rows):
         rows = min(slab_rows, n_pad - start)
         slab = _jnp.asarray(slab_fn(start, rows), dtype=_jnp.float32)
-        buf8, norms_sq, inv = _int8_ingest_slab(
-            buf8, norms_sq, inv, slab, _jnp.int32(start)
+        buf8, norms_sq, inv, resid = _int8_ingest_slab(
+            buf8, norms_sq, inv, resid, slab, _jnp.int32(start)
         )
     valid = _jnp.arange(n_pad, dtype=_jnp.int32) < n
+    resid = _jnp.where(valid, resid, 0.0)
+    rbin, rmax = finalize_resid(resid)
     # rows in [n, n_pad) come from slab_fn padding (zeros): quantized norms
     # and inv stay 0 there, and `valid` masks them out of every query
-    return DeviceVecs(buf8, norms_sq, inv, valid)
+    return DeviceVecs(buf8, norms_sq, inv, valid, resid, rbin, rmax)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -1052,7 +1137,7 @@ def run_vec_topk(
             fast = dv.vectors.dtype != jnp.int8 and pk.fast_ok(
                 metric, take_min, cmp_eff, k_eff, prec
             )
-            rows, scores, valid, check = pk.pallas_topk(
+            rows, scores, valid, check, _bound = pk.pallas_topk(
                 *args[:5], rm, thr_arr, alive, fast=fast, **kwargs
             )
             rows, scores, valid, check = jax.device_get(
@@ -1061,7 +1146,7 @@ def run_vec_topk(
             if fast and not bool(check):
                 # verified fast-exact check failed (ties near the boundary);
                 # re-run strictly at HIGHEST
-                rows, scores, valid, _ = jax.device_get(
+                rows, scores, valid, _, _ = jax.device_get(
                     pk.pallas_topk(
                         *args[:5], rm, thr_arr, alive, fast=False, **kwargs
                     )

@@ -44,6 +44,7 @@ def _jit_sharded_program():
             "tile",
             "chunk_size",
             "fast",
+            "certify",
         ),
     )
     def sharded_meta_query(
@@ -65,10 +66,12 @@ def _jit_sharded_program():
         tile="auto",
         chunk_size=0,
         fast=False,
+        certify=False,
     ):
         def local_fn(dv_l, cols_l, clens_l, q_l, qv_l, params_l, thr_l):
             n_local = dv_l.vectors.shape[0]
             n_chunks_l = clens_l.shape[0]
+            axes = ("rows", "batch")
             if plan_static:
                 cmask = predicate.chunk_mask(
                     plan_static, params_l, cols_l, n_chunks_l
@@ -93,6 +96,32 @@ def _jit_sharded_program():
                 cmp=cmp,
                 prec=prec,
             )
+            # int8 exactness certificate, sharded composition: each shard
+            # bounds its own unexamined rows; rows a shard returned but the
+            # global merge dropped are bounded by the k-th merged quantized
+            # score + the global slack. The psum-max of both is a sound
+            # bound on every row the merged candidate set excludes.
+            slack_g = None
+            thr_core = thr_l
+            if certify:
+                from ..types import Cmp as _Cmp
+
+                e_q = scoring.query_unit_resid(q_l)
+                e_q = jnp.where(qv_l, e_q, 0.0)
+                e_q_max = jax.lax.pmax(
+                    jnp.max(e_q) if b_local else jnp.float32(0.0), axes
+                )
+                slack_g = (
+                    e_q_max
+                    + dv_l.resid_max
+                    + jnp.float32(
+                        scoring.int8_cert_eps(dv_l.vectors.shape[1])
+                    )
+                )
+                if cmp in (_Cmp.Gt, _Cmp.Gte):
+                    # same loosening as the single-device program: no truly
+                    # passing row may be dropped on its quantized score
+                    thr_core = thr_l - slack_g
             args = (
                 dv_l.vectors,
                 dv_l.norms_sq,
@@ -100,7 +129,7 @@ def _jit_sharded_program():
                 dv_l.valid,
                 q_l,
                 rmask,
-                thr_l,
+                thr_core,
             )
             if tile == "pallas":
                 # fused kernel per shard: locally-pruned tiles cost neither
@@ -118,7 +147,7 @@ def _jit_sharded_program():
                     )
                 else:
                     alive = jnp.ones(n_local // t_rows, dtype=jnp.bool_)
-                rows, scores, ok, check = pk.pallas_topk(
+                rows, scores, ok, check, bound_l = pk.pallas_topk(
                     dv_l.vectors,
                     dv_l.norms_sq,
                     dv_l.inv_norms,
@@ -129,6 +158,9 @@ def _jit_sharded_program():
                     alive,
                     fast=fast,
                     q_valid=qv_l,
+                    certify=certify,
+                    resid=dv_l.resid if certify else None,
+                    resid_bin=dv_l.resid_bin if certify else None,
                     **kwargs,
                 )
             elif tile == "scan_pruned":
@@ -148,6 +180,7 @@ def _jit_sharded_program():
                     **kwargs,
                 )
                 check = jnp.bool_(True)
+                bound_l = jnp.float32(-jnp.inf)
             elif b_local * n_local <= scoring.DIRECT_LIMIT or (
                 n_local % scoring.PANEL_BIN != 0
             ):
@@ -155,14 +188,19 @@ def _jit_sharded_program():
                     *args, q_valid=qv_l, **kwargs
                 )
                 check = jnp.bool_(True)
+                bound_l = _core_bound(scores, ok, slack_g) if certify else (
+                    jnp.float32(-jnp.inf)
+                )
             else:
                 rows, scores, ok = scoring.panel_topk_core(
                     *args, q_valid=qv_l, **kwargs
                 )
                 check = jnp.bool_(True)
+                bound_l = _core_bound(scores, ok, slack_g) if certify else (
+                    jnp.float32(-jnp.inf)
+                )
             rows = rows + jax.lax.axis_index("rows") * n_local
 
-            axes = ("rows", "batch")
             # the verified fast-exact certificate must hold on EVERY shard:
             # one failed local check invalidates the global merge
             check_g = (
@@ -178,9 +216,25 @@ def _jit_sharded_program():
                 key = -key
             _, sel = jax.lax.top_k(key, min(k, key.shape[0]))
 
+            if certify:
+                merged_kth_ok = ok_g[sel][-1]
+                bound_merged = jnp.where(
+                    merged_kth_ok,
+                    scores_g[sel][-1] + slack_g,
+                    jnp.float32(-jnp.inf),
+                )
+                bound_g = jnp.maximum(
+                    jax.lax.pmax(bound_l, axes), bound_merged
+                )
+            else:
+                bound_g = jnp.float32(-jnp.inf)
+
             ev_g = jax.lax.psum(ev, "rows")
             re_g = jax.lax.psum(re_, "rows")
-            return rows_g[sel], scores_g[sel], ok_g[sel], check_g, ev_g, re_g
+            return (
+                rows_g[sel], scores_g[sel], ok_g[sel], check_g, bound_g,
+                ev_g, re_g,
+            )
 
         col_specs = {
             name: {
@@ -190,7 +244,10 @@ def _jit_sharded_program():
             for name, colarrs in cols.items()
         }
         dv_specs = scoring.DeviceVecs(
-            P("rows", None), P("rows"), P("rows"), P("rows")
+            P("rows", None), P("rows"), P("rows"), P("rows"),
+            # certificate residuals: per-row + per-bin along rows, the
+            # global max replicated (specs over None leaves are ignored)
+            P("rows"), P("rows"), P(),
         )
         # per-leaf specs for the plan parameters: hostmask leaves carry a
         # row mask [n_pad] and a chunk mask [n_chunks] sharded along rows;
@@ -219,12 +276,22 @@ def _jit_sharded_program():
                 params_specs,
                 P(),
             ),
-            out_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P()),
             check_vma=False,
         )
         return fn(dv, cols, chunk_lens, queries, q_valid, plan_params, thr)
 
     return sharded_meta_query
+
+
+def _core_bound(scores, ok, slack_g):
+    """Local certificate bound for the XLA core paths: the k-th local
+    quantized score + global slack covers every local row not returned
+    (exact local top-k); an invalid k-th slot means EVERY passing local row
+    was returned and nothing local is unexamined."""
+    import jax.numpy as jnp
+
+    return jnp.where(ok[-1], scores[-1] + slack_g, jnp.float32(-jnp.inf))
 
 
 _sharded_meta_query = _jit_sharded_program()
@@ -332,12 +399,30 @@ class ShardedMetaStore(MetaStore):
             spec = P("rows") if arr.ndim == 1 else P("rows", None)
             return jax.device_put(full, NamedSharding(mesh, spec))
 
-        out._dv = scoring.DeviceVecs(
-            put_rows(dv.vectors, 0.0),
-            put_rows(dv.norms_sq, 0.0),
-            put_rows(dv.inv_norms, 0.0),
-            put_rows(dv.valid, False),
-        )
+        valid_s = put_rows(dv.valid, False)
+        if dv.resid is not None:
+            # certificate residuals survive re-sharding: per-row values are
+            # re-padded (0 on padding), bins/max re-derived on the mesh
+            # (per-shard rows are SCAN_TILE multiples -> 512-bin aligned)
+            resid_s, rbin_s, rmax_s = _sharded_resid_finalize(
+                mesh, put_rows(dv.resid, 0.0), valid_s
+            )
+            out._dv = scoring.DeviceVecs(
+                put_rows(dv.vectors, 0.0),
+                put_rows(dv.norms_sq, 0.0),
+                put_rows(dv.inv_norms, 0.0),
+                valid_s,
+                resid_s,
+                rbin_s,
+                rmax_s,
+            )
+        else:
+            out._dv = scoring.DeviceVecs(
+                put_rows(dv.vectors, 0.0),
+                put_rows(dv.norms_sq, 0.0),
+                put_rows(dv.inv_norms, 0.0),
+                valid_s,
+            )
         out._chunk_lens = put_chunks(store._chunk_lens, 0)
 
         row_keys = {"vals", "hi", "lo", "null", "rh_hi", "rh_lo"}
@@ -403,7 +488,7 @@ class ShardedMetaStore(MetaStore):
     # MetaQueryPlan calls this hook; run the SPMD program instead.
     def _run_query_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,
-        take_min, cmp, strict=False,
+        take_min, cmp, strict=False, certify=False,
     ):
         import jax
         import jax.numpy as jnp
@@ -474,6 +559,13 @@ class ShardedMetaStore(MetaStore):
                 and self._dv.vectors.dtype != jnp.int8
                 and pk.fast_ok(metric, take_min, cmp, k_eff, self.precision)
             )
+        certify = (
+            certify
+            and not strict
+            and self._certify_supported(metric, take_min, cmp)
+            and tile != "scan_pruned"
+            and (tile != "pallas" or self._dv.resid_bin is not None)
+        )
         static_kwargs = dict(
             mesh=self.mesh,
             plan_static=plan_static,
@@ -485,6 +577,7 @@ class ShardedMetaStore(MetaStore):
             tile=tile,
             chunk_size=self._chunk_size,
             fast=fast,
+            certify=certify,
         )
         args = (
             self._dv, cols_sub, self._chunk_lens, qs, qv, plan_params,
@@ -500,7 +593,7 @@ class ShardedMetaStore(MetaStore):
         # the concrete device assignment (mesh repr carries no ids), so a
         # blob only ever loads into the identical topology
         memo = (plan_static, b_pad, k_eff, metric, take_min, cmp,
-                self.precision, tile, fast)
+                self.precision, tile, fast, certify)
         key = self._aot_key_cache.get(memo)
         if key is None:
             dev_ids = tuple(d.id for d in self.mesh.devices.flat)
@@ -551,12 +644,12 @@ class ShardedMetaStore(MetaStore):
         if scoring.needs_windowed(n_pad, b, k_eff):
             # take-all-sized redo: the SPMD top-k program can't hold k_eff;
             # re-run through the same per-shard windowed path
-            rows, scores, ok, _, _, _ = self._windowed_collect(
+            rows, scores, ok, _, _, _, _ = self._windowed_collect(
                 {}, queries, plan_params, plan_static, k_eff,
                 metric, take_min, thr, cmp,
             )
             return rows, scores, ok
-        rows, scores, ok, _, _, _ = jax.device_get(
+        rows, scores, ok, _, _, _, _ = jax.device_get(
             self._run_query_program(
                 {}, queries, plan_params,
                 0.0 if thr is None else thr,
@@ -726,7 +819,7 @@ class ShardedMetaStore(MetaStore):
         order = np.lexsort((flat, key))[:k_eff]
         return (
             rows_all[order], sc_all[order], ok_all[order],
-            np.bool_(True), ev_total, re_total,
+            np.bool_(True), np.float32(-np.inf), ev_total, re_total,
         )
 
 
@@ -852,12 +945,13 @@ def materialize_int8_slabs_sharded(
     buf8 = _sharded_zeros(mesh, (n_pad_s, d), jnp.int8)
     nsq = _sharded_zeros(mesh, (n_pad_s,), jnp.float32)
     inv = _sharded_zeros(mesh, (n_pad_s,), jnp.float32)
+    resid = _sharded_zeros(mesh, (n_pad_s,), jnp.float32)
     slab_rows = min(slab_rows, n_pad_s)
     for start in range(0, n_pad_s, slab_rows):
         rows = min(slab_rows, n_pad_s - start)
         slab = jnp.asarray(slab_fn(start, rows), dtype=jnp.float32)
-        buf8, nsq, inv = scoring._int8_ingest_slab(
-            buf8, nsq, inv, slab, jnp.int32(start)
+        buf8, nsq, inv, resid = scoring._int8_ingest_slab(
+            buf8, nsq, inv, resid, slab, jnp.int32(start)
         )
     # sharding propagation through the donated updates keeps the buffers on
     # their shards; the device_put is a no-op guarantee of that contract
@@ -866,11 +960,39 @@ def materialize_int8_slabs_sharded(
     buf8 = jax.device_put(buf8, sh2)
     nsq = jax.device_put(nsq, sh1)
     inv = jax.device_put(inv, sh1)
+    resid = jax.device_put(resid, sh1)
     valid = _sharded_call(
         mesh, ("valid", n_pad_s, n),
         lambda: jnp.arange(n_pad_s, dtype=jnp.int32) < n,
     )
-    return scoring.DeviceVecs(buf8, nsq, inv, valid)
+    resid, rbin, rmax = _sharded_resid_finalize(mesh, resid, valid)
+    return scoring.DeviceVecs(buf8, nsq, inv, valid, resid, rbin, rmax)
+
+
+def _sharded_resid_finalize(mesh, resid, valid):
+    """Mask padding rows out of the residuals, then derive the per-bin
+    maxima (sharded along rows — shard sizes are SCAN_TILE multiples, so
+    bins never straddle shards) and the replicated global max."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_pad_s = resid.shape[0]
+
+    def fin(r, v):
+        r = jnp.where(v, r, 0.0)
+        rbin = jnp.max(r.reshape(-1, scoring.CERT_BIN), axis=1)
+        return r, rbin, jnp.max(r)
+
+    fn = jax.jit(
+        fin,
+        out_shardings=(
+            _row_sharding(mesh),
+            _row_sharding(mesh),
+            NamedSharding(mesh, P()),
+        ),
+    )
+    return fn(resid, valid)
 
 
 def materialize_f32_slabs_sharded(
@@ -1115,13 +1237,14 @@ def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
         if b._storage_dtype == "int8":
 
             def _quant(v):
-                return scoring._quantize_rows_int8(v)
+                return scoring._quantize_rows_int8_resid(v)
 
-            v8, nsq, invn = _sharded_call(
-                mesh, ("quant8", n_pad_s, dim), _quant, placed
+            v8, nsq, invn, resid8 = _sharded_call(
+                mesh, ("quant8r", n_pad_s, dim), _quant, placed
             )
             vecs_dev = v8
         else:
+            resid8 = None
             tgt = jnp.bfloat16 if b._storage_dtype == "bfloat16" else jnp.float32
 
             def _caststats(v):
@@ -1137,7 +1260,13 @@ def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
             mesh, ("valid", n_pad_s, n_rows),
             lambda: jnp.arange(n_pad_s, dtype=jnp.int32) < n_rows,
         )
-        dv = scoring.DeviceVecs(vecs_dev, nsq, invn, valid)
+        if resid8 is not None:
+            resid8, rbin8, rmax8 = _sharded_resid_finalize(mesh, resid8, valid)
+            dv = scoring.DeviceVecs(
+                vecs_dev, nsq, invn, valid, resid8, rbin8, rmax8
+            )
+        else:
+            dv = scoring.DeviceVecs(vecs_dev, nsq, invn, valid)
     jax.block_until_ready(dv)
     ingest_dur = time.perf_counter() - ingest_start
 

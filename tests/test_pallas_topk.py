@@ -48,7 +48,7 @@ def _oracle(vectors, queries, metric, k, take_min, row_mask=None, thr=None, cmp=
 
 def _run_pallas(dv, queries, tile_alive, row_mask=None, thr=None, cmp=None,
                 metric=Metric.DotProduct, k=12, take_min=False, fast=False):
-    rows, scores, ok, check = pk.pallas_topk(
+    rows, scores, ok, check, _bound = pk.pallas_topk(
         dv.vectors,
         dv.norms_sq,
         dv.inv_norms,
@@ -176,7 +176,7 @@ def test_fast_exact_check_fails_safe():
     n_pad = dv.vectors.shape[0]
     t = pk.choose_tile(d, n_pad, pk._pad_b(1))
     alive = jnp.ones(n_pad // t, dtype=bool)
-    rows, scores, ok, check = pk.pallas_topk(
+    rows, scores, ok, check, _bound = pk.pallas_topk(
         dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
         jnp.asarray(queries), None, jnp.float32(0.0), alive,
         metric=Metric.Cosine, k=k, take_min=False, cmp=None,
@@ -251,7 +251,7 @@ def test_pallas_int8_quantized_cosine(data):
     n_pad = dv8.vectors.shape[0]
     t = pk.choose_tile(vectors.shape[1], n_pad, pk._pad_b(queries.shape[0]))
     alive = jnp.ones(n_pad // t, dtype=bool)
-    rows, scores, ok, check = pk.pallas_topk(
+    rows, scores, ok, check, _bound = pk.pallas_topk(
         dv8.vectors, dv8.norms_sq, dv8.inv_norms, dv8.valid,
         jnp.asarray(queries), None, jnp.float32(0.0), alive,
         metric=Metric.Cosine, k=10, take_min=False, cmp=None,
@@ -314,7 +314,7 @@ def test_fast_exact_euclid_ties_fail_safe():
     n_pad = dv.vectors.shape[0]
     t = pk.choose_tile(d, n_pad, pk._pad_b(1))
     alive = jnp.ones(n_pad // t, dtype=bool)
-    rows, scores, ok, check = pk.pallas_topk(
+    rows, scores, ok, check, _bound = pk.pallas_topk(
         dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
         jnp.asarray(queries), None, jnp.float32(0.0), alive,
         metric=Metric.Euclidean, k=k, take_min=True, cmp=None,
@@ -364,7 +364,7 @@ def test_pallas_topk_honors_caller_tile(rng=None):
         if n_pad % t:
             continue
         alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
-        rows, scores, ok, _ = pk.pallas_topk(
+        rows, scores, ok, _, _ = pk.pallas_topk(
             dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, q, rmask,
             jnp.float32(-2.0), alive, metric=Metric.Cosine, k=k,
             take_min=False, cmp=Cmp.Gt, interpret=True,

@@ -22,7 +22,7 @@ def test_pallas_all_tiles_pruned_no_oob():
     t = pk.choose_tile(d, n_pad, pk._pad_b(2))
     alive = jnp.zeros(n_pad // t, dtype=bool)
     row_mask = jnp.zeros(n_pad, dtype=bool)  # soundness contract
-    rows, scores, ok, check = pk.pallas_topk(
+    rows, scores, ok, check, _bound = pk.pallas_topk(
         dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
         jnp.asarray(rng.normal(size=(2, d)).astype(np.float32)),
         row_mask, jnp.float32(0.0), alive,
@@ -45,7 +45,7 @@ def test_pallas_dead_slots_no_duplicate_rows():
     alive = jnp.asarray(np.arange(n_tiles) == 0)  # one alive tile
     row_mask = np.zeros(n_pad, dtype=bool)
     row_mask[:t] = True
-    rows, scores, ok, check = pk.pallas_topk(
+    rows, scores, ok, check, _bound = pk.pallas_topk(
         dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
         jnp.asarray(rng.normal(size=(1, d)).astype(np.float32)),
         jnp.asarray(row_mask), jnp.float32(0.0), alive,
@@ -303,7 +303,7 @@ def test_int8_pallas_exact_at_large_dim():
     )
     n_pad = dv8.vectors.shape[0]
     t = pk.choose_tile(d, n_pad, pk._pad_b(2))
-    rows_p, scores_p, ok_p, _ = pk.pallas_topk(
+    rows_p, scores_p, ok_p, _, _ = pk.pallas_topk(
         dv8.vectors, dv8.norms_sq, dv8.inv_norms, dv8.valid,
         jnp.asarray(q), None, jnp.float32(0.0),
         jnp.ones(n_pad // t, dtype=bool),
