@@ -152,6 +152,37 @@ class MetaQueryResults:
 # ---------------------------------------------------------------------------
 
 
+class _LruCache(dict):
+    """Tiny LRU dict: ``get`` refreshes recency; inserting beyond capacity
+    evicts the least-recently-used entry. Hit/miss/eviction counters make
+    a thrashing workload visible (``MetaStore.cache_stats()``) instead of
+    silently recomputing forever."""
+
+    def __init__(self, cap: int):
+        super().__init__()
+        self.cap = cap
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
+
+    def get(self, key, default=None):
+        if key in self:
+            self.hits += 1
+            val = super().pop(key)
+            super().__setitem__(key, val)  # move to most-recent
+            return val
+        self.misses += 1
+        return default
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().pop(key)
+        elif len(self) >= self.cap:
+            super().pop(next(iter(self)))  # least-recently-used
+            self.evictions += 1
+        super().__setitem__(key, val)
+
+
 def _chunk_offsets(n: int, c: int) -> np.ndarray:
     return np.arange(0, n, c, dtype=np.int64)
 
@@ -1013,9 +1044,12 @@ class MetaStore:
         self._rerank_config = None  # the builder's (fetch, keep) tuple
         self._rerank_host = None  # keep_host_f32 snapshot (original order)
         self._cert_kwide_hint = None  # narrowest scan that certified lately
-        self._plan_cache: Dict = {}
-        self._aot_key_cache: Dict = {}
-        self._hostmask_cache: Dict = {}
+        # LRU caches (bounded; a long-lived server cycling more distinct
+        # plans/literals than the cap evicts oldest-used instead of
+        # silently thrashing invisible recompute — see cache_stats())
+        self._plan_cache: Dict = _LruCache(256)
+        self._aot_key_cache: Dict = _LruCache(512)
+        self._hostmask_cache: Dict = _LruCache(128)
         self._str_arena_cache: Dict = {}
         self._bloom_config = ("fpr", 0.01)
         self._build_stats: Optional[MetaBuildStats] = None
@@ -1061,6 +1095,26 @@ class MetaStore:
     def last_query_stats(self) -> Optional[MetaQueryStats]:
         return self._last_stats
 
+    def cache_stats(self) -> Dict[str, Dict[str, int]]:
+        """Size/hit/miss/eviction counters for the per-store LRU caches
+        (plan lowering, AOT signature memo, hostmask string predicates).
+        A growing ``evictions`` count on a steady workload means the
+        working set exceeds the cap and dispatches are paying recompute."""
+        return {
+            name: {
+                "size": len(c),
+                "capacity": c.cap,
+                "hits": c.hits,
+                "misses": c.misses,
+                "evictions": c.evictions,
+            }
+            for name, c in (
+                ("plan", self._plan_cache),
+                ("aot_key", self._aot_key_cache),
+                ("hostmask", self._hostmask_cache),
+            )
+        }
+
     def build_stats(self) -> Optional[MetaBuildStats]:
         return self._build_stats
 
@@ -1085,11 +1139,18 @@ class MetaStore:
             inv = np.empty(self._n_rows, dtype=np.int64)
             inv[self._index_map] = np.arange(self._n_rows)
             idx = inv[idx]  # original ids -> current positions
-        valid = np.asarray(self._dv.valid).copy()
+        valid = self._host_valid().copy()
         newly = int(valid[idx].sum())
         valid[idx] = False
         self._dv = self._dv._replace(valid=self._place_valid(valid))
         self._n_deleted += newly
+
+    def _host_valid(self) -> np.ndarray:
+        """[n_pad] validity mask on the host. On multi-process meshes the
+        mask spans non-addressable devices; the sharded override gathers it
+        with a replicating collective (every process must call this
+        together — delete/append/save are collective there)."""
+        return np.asarray(self._dv.valid)
 
     def _place_valid(self, valid: np.ndarray):
         """Place the updated [n_pad] validity mask on device. Sharded
@@ -1114,13 +1175,12 @@ class MetaStore:
         new.precision = self.precision
         return new
 
-    def _append_builder(self, vectors, column_values) -> "MetaStoreBuilder":
-        """Shared append logic: a configured builder over surviving + new
-        rows in original ingestion order (tombstones compacted). ``build()``
-        for a single-device result; ``build_sharded(mesh)`` for a sharded
-        one (ShardedMetaStore.append)."""
+    def _append_prep(self, vectors, column_values):
+        """Shared append validation + column assembly (host side):
+        -> (keep, inv_order, new_vecs, cols, cfg). ``keep`` holds the
+        surviving row positions in ORIGINAL ingestion order."""
         n = self._n_rows
-        valid = np.asarray(self._dv.valid)[:n]
+        valid = self._host_valid()[:n]
         src_cols = (
             self._orig_columns if self._orig_columns is not None else self._columns
         )
@@ -1138,22 +1198,6 @@ class MetaStore:
                 "the appended rows; rebuild via MetaStore.from_columns(...)"
                 ".with_rerank_source(fetch) with an updated fetch"
             )
-        if cfg is not None:
-            # keep_host_f32: re-source the TRUE f32 rows (original order)
-            # so the rebuilt snapshot is not the quantized storage; use the
-            # direct snapshot ref when present (no n x d transient copy)
-            old_vecs = (
-                self._rerank_host[:n]
-                if self._rerank_host is not None
-                else np.asarray(
-                    self._rerank_fetch(np.arange(n, dtype=np.int64)),
-                    dtype=np.float32,
-                )
-            )
-        else:
-            old_vecs = np.asarray(self._dv.vectors)[:n]
-            if inv_order is not None:
-                old_vecs = old_vecs[inv_order]
         keep = np.flatnonzero(valid)
         new_vecs = np.asarray(vectors, dtype=np.float32)
         if new_vecs.ndim != 2 or (n and new_vecs.shape[1] != self._dim):
@@ -1173,10 +1217,12 @@ class MetaStore:
             for v in vals_new:
                 kept.push(v)
             cols.append(kept)
-        builder = (
-            MetaStore.from_columns(cols)
-            .with_vectors(np.concatenate([old_vecs[keep], new_vecs], axis=0))
-            .with_chunk_size(self._chunk_size)
+        return keep, inv_order, new_vecs, cols, cfg
+
+    def _append_configured_builder(self, cols) -> "MetaStoreBuilder":
+        """A builder carrying this store's configuration (no vectors yet)."""
+        builder = MetaStore.from_columns(cols).with_chunk_size(
+            self._chunk_size
         )
         kind, val = self._bloom_config
         builder = (
@@ -1187,7 +1233,46 @@ class MetaStore:
             builder = builder.with_sort_by(self._sort_by[0], self._sort_by[1])
         if self._z_order is not None:
             builder = builder.with_z_order(self._z_order)
-        builder = builder.with_storage_dtype(self._storage_dtype)
+        return builder.with_storage_dtype(self._storage_dtype)
+
+    def _append_builder(self, vectors, column_values) -> "MetaStoreBuilder":
+        """Shared append logic: a configured builder over surviving + new
+        rows in original ingestion order (tombstones compacted). ``build()``
+        for a single-device result; ``build_sharded(mesh)`` for a sharded
+        one (ShardedMetaStore.append overrides with a streaming rebuild
+        for unsorted stores).
+
+        Quantized stores without ``keep_host_f32`` re-source the int8
+        CODES as the rebuild input: re-quantizing codes is IDEMPOTENT
+        (each row's max |code| is exactly 127 by construction, so the
+        requantization scale is 1 and every code rounds to itself) —
+        surviving rows' codes are bit-identical across append generations
+        (pinned by tests/test_append_streaming.py)."""
+        n = self._n_rows
+        keep, inv_order, new_vecs, cols, cfg = self._append_prep(
+            vectors, column_values
+        )
+        if cfg is not None:
+            # keep_host_f32: re-source the TRUE f32 rows (original order)
+            # so the rebuilt snapshot is not the quantized storage; use the
+            # direct snapshot ref when present (no n x d transient copy)
+            old_vecs = (
+                self._rerank_host[:n]
+                if self._rerank_host is not None
+                else np.asarray(
+                    self._rerank_fetch(np.arange(n, dtype=np.int64)),
+                    dtype=np.float32,
+                )
+            )
+        else:
+            old_vecs = np.asarray(self._dv.vectors)[:n]
+            if inv_order is not None:
+                old_vecs = old_vecs[inv_order]
+        builder = self._append_configured_builder(cols).with_vectors(
+            np.concatenate(
+                [old_vecs[keep].astype(np.float32), new_vecs], axis=0
+            )
+        )
         if cfg is not None:
             builder = builder.with_rerank_source(keep_host_f32=True)
         return builder
@@ -1304,8 +1389,7 @@ class MetaStore:
             pad[: len(chunk_any)] = chunk_any
             chunk_any = pad
         cached = (jnp.asarray(row), jnp.asarray(chunk_any))
-        if len(self._hostmask_cache) < 128:
-            self._hostmask_cache[key] = cached
+        self._hostmask_cache[key] = cached
         return cached
 
     # -- windowed take-all hook (overridden by ShardedMetaStore) -------------
@@ -1434,8 +1518,7 @@ class MetaStore:
                 args,
                 {},
             )
-            if len(self._aot_key_cache) < 512:
-                self._aot_key_cache[memo] = key
+            self._aot_key_cache[memo] = key
         if aot.jit_is_ready(key):
             # steady state: jit's C++ dispatch pipelines ~4x better than the
             # Compiled call path
@@ -1733,8 +1816,7 @@ class MetaQueryPlan:
             static_clauses.append(tuple(st))
             param_clauses.append(tuple(pr))
         result = (tuple(static_clauses), tuple(param_clauses), used_cols)
-        if len(self._store._plan_cache) < 256:
-            self._store._plan_cache[cache_key] = result
+        self._store._plan_cache[cache_key] = result
         return result
 
     # -- host-exact fallbacks ---------------------------------------------------

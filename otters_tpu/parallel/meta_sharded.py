@@ -321,20 +321,150 @@ class ShardedMetaStore(MetaStore):
     def _place_valid(self, valid):
         return _put_padded(self.mesh, valid, valid.shape[0], False)
 
+    def _host_valid(self):
+        v = self._dv.valid
+        if v.is_fully_addressable:
+            return np.asarray(v)
+        # multi-process mesh: replicate-gather (COLLECTIVE — all processes
+        # must reach this point together; delete/append/save are collective)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return np.asarray(
+            jax.jit(
+                lambda x: x, out_shardings=NamedSharding(self.mesh, P())
+            )(v)
+        )
+
     def append(self, vectors, column_values):
         """Append rows: surviving + new rows are re-chunked and rebuilt
         DIRECTLY onto this store's mesh (same semantics as
-        MetaStore.append — tombstones compacted, fresh ids). The old rows
-        stage through host RAM (np.asarray gathers the shards), exactly
-        like the original host ingest; per-device HBM stays at shard
-        size. Chunk sizes that don't align with the scan tile (possible on
-        shard()-created stores) fall back to single-device build +
-        re-shard."""
-        new = build_sharded_or_shard(
-            self._append_builder(vectors, column_values), self.mesh
+        MetaStore.append — tombstones compacted, fresh ids). Unsorted
+        stores rebuild by STREAMING: old rows flow device-shard -> bounded
+        host slab -> new per-shard HBM, so host RAM never holds the store
+        and append capacity scales with the mesh. Sorted/z-ordered stores
+        (a rebuild re-sorts globally) and chunk sizes that don't align
+        with the scan tile fall back to the host-staged path."""
+        import math
+
+        lcm = scoring.SCAN_TILE * self._chunk_size // math.gcd(
+            scoring.SCAN_TILE, self._chunk_size
         )
+        if self._index_map is None and lcm <= 4 * scoring.SCAN_TILE:
+            # streaming rebuild: surviving rows flow device-shard ->
+            # host-slab -> new per-shard HBM, one slab at a time — append
+            # capacity scales with the mesh like build/query/save do.
+            # Sorted stores can't stream (the rebuild applies a fresh
+            # GLOBAL sort permutation) and take the staged path below.
+            new = self._append_streaming(vectors, column_values)
+        else:
+            new = build_sharded_or_shard(
+                self._append_builder(vectors, column_values), self.mesh
+            )
         new.precision = self.precision
         return new
+
+    def _append_streaming(self, vectors, column_values) -> "ShardedMetaStore":
+        """Mesh-scaled append for unsorted stores (round-4 item 4): old
+        rows are re-ingested via bounded device->host slabs (never the
+        whole store), quantized storage re-quantizes its own codes
+        bit-identically (idempotent; see MetaStore._append_builder)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self._n_rows
+        keep, _, new_vecs, cols, cfg = self._append_prep(
+            vectors, column_values
+        )
+        d = self._dim
+        n_keep = len(keep)
+        n_total = n_keep + new_vecs.shape[0]
+        mesh = self.mesh
+
+        if cfg is not None:
+            old_host = (
+                self._rerank_host[:n]
+                if self._rerank_host is not None
+                else np.asarray(
+                    self._rerank_fetch(np.arange(n, dtype=np.int64)),
+                    dtype=np.float32,
+                )
+            )
+        else:
+            old_host = None
+            old_dev = self._dv.vectors
+            # replicated-output gather: one slab of surviving rows lands on
+            # the host per call, never the whole store
+            gather = jax.jit(
+                lambda v, i: v[i].astype(jnp.float32),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+
+        def slab_fn(start, rows):
+            end = min(start + rows, n_total)
+            out = np.zeros((rows, d), np.float32)
+            if end <= start:
+                return out
+            o_end = min(end, n_keep)
+            if o_end > start:
+                ids = keep[start:o_end]
+                if old_host is not None:
+                    out[: o_end - start] = old_host[ids]
+                else:
+                    out[: o_end - start] = np.asarray(
+                        gather(old_dev, jnp.asarray(ids))
+                    )
+            if end > max(start, n_keep):
+                a = max(start, n_keep)
+                out[a - start : end - start] = new_vecs[a - n_keep : end - n_keep]
+            return out
+
+        slab_rows = min(max(self._chunk_size, 1 << 16), 1 << 20)
+        if self._storage_dtype == "int8":
+            dv = materialize_int8_slabs_sharded(
+                slab_fn, n_total, d, slab_rows, mesh,
+                chunk_size=self._chunk_size,
+            )
+        else:
+            dv = materialize_f32_slabs_sharded(
+                slab_fn, n_total, d, slab_rows, mesh,
+                chunk_size=self._chunk_size,
+                dtype=(
+                    jnp.bfloat16
+                    if self._storage_dtype == "bfloat16"
+                    else jnp.float32
+                ),
+            )
+        builder = self._append_configured_builder(cols).with_vectors(
+            dv, n_rows=n_total
+        )
+        new = build_sharded(builder, mesh)
+        if cfg is not None:
+            # keep_host_f32 cannot ride a pre-built DeviceVecs through the
+            # builder; re-attach the (host-resident by contract) snapshot
+            host = np.concatenate([old_host[keep], new_vecs], axis=0)
+            new._rerank_host = host
+            new._rerank_config = (None, True)
+
+            def _fetch(ids, _hf=host):
+                return _hf[np.asarray(ids, dtype=np.int64)]
+
+            new._rerank_fetch = _fetch
+        return new
+
+    def save(self, path: str) -> None:
+        """Serialize as ONE FILE PER ROW-SHARD (io.save_meta_sharded):
+        host staging is bounded by a single shard, so persistence capacity
+        scales with the mesh like query capacity does. On a multi-process
+        mesh every process must call save with the same shared-filesystem
+        path. Reload with ``MetaStore.load(path, mesh=...)`` (the directory
+        layout is auto-detected; single-device reload also works). Use
+        ``otters_tpu.io.save_meta(store, file)`` for the single-file
+        format when the store comfortably fits one host."""
+        from .. import io
+
+        io.save_meta_sharded(self, path)
 
     @staticmethod
     def shard(store: MetaStore, mesh) -> "ShardedMetaStore":
@@ -603,8 +733,7 @@ class ShardedMetaStore(MetaStore):
                 args,
                 {},
             )
-            if len(self._aot_key_cache) < 512:
-                self._aot_key_cache[memo] = key
+            self._aot_key_cache[memo] = key
         if aot.jit_is_ready(key):
             return _sharded_meta_query(*args, **static_kwargs)
         compiled = aot.lookup(key) or aot.load_or_compile(
@@ -1085,6 +1214,57 @@ def _zm_sharded(mesh, kind, args, statics):
     return _sharded_call(mesh, key, partial(inner, **statics), *args)
 
 
+def _bloom_sharded(mesh, g1, g2, nulls_np, c, n_pad_s, n_chunks_s, params):
+    """Per-shard DEVICE Bloom scatter: hashes stay host-computed, each
+    shard scatters its own rows into its own chunk rows (rows are
+    chunk-aligned per shard by construction), out-shardings pinned to the
+    chunk axis. Bit-for-bit the host ``build_matrix`` layout — pinned by
+    tests/test_build_sharded.py."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import bloom as bloom_ops
+
+    n_shards = mesh.shape["rows"]
+    nc_loc = n_chunks_s // n_shards
+    g1 = np.ascontiguousarray(g1, dtype=np.uint64)
+    g2 = np.ascontiguousarray(g2, dtype=np.uint64)
+    u32 = np.uint64(0xFFFFFFFF)
+    args = (
+        _put_padded(mesh, (g1 >> np.uint64(32)).astype(np.uint32), n_pad_s, 0),
+        _put_padded(mesh, (g1 & u32).astype(np.uint32), n_pad_s, 0),
+        _put_padded(mesh, (g2 >> np.uint64(32)).astype(np.uint32), n_pad_s, 0),
+        _put_padded(mesh, (g2 & u32).astype(np.uint32), n_pad_s, 0),
+        # padding rows hash as null: they scatter into the dump slot only
+        _put_padded(mesh, np.asarray(nulls_np, dtype=bool), n_pad_s, True),
+    )
+
+    def local(g1h, g1l, g2h, g2l, nl):
+        return bloom_ops._build_matrix_device_jit(
+            g1h, g1l, g2h, g2l, nl, chunk_size=c, n_chunks=nc_loc,
+            bits=params.bits, words=params.words, k=params.k_hashes,
+        )
+
+    ck = (
+        id(mesh),
+        ("bloomdev", n_pad_s, c, params.bits, params.words, params.k_hashes),
+    )
+    fn = _sharded_jit_cache.get(ck)
+    if fn is None:
+        fn = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P("rows"),) * 5,
+                out_specs=P("rows", None),
+                check_vma=False,
+            )
+        )
+        if len(_sharded_jit_cache) < 256:
+            _sharded_jit_cache[ck] = fn
+    return fn(*args)
+
+
 def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
     """Build a ShardedMetaStore by DIRECT sharded ingest: vectors, column
     arrays, null masks, zonemaps and Bloom matrices are placed straight into
@@ -1290,11 +1470,29 @@ def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
                 params = bloom_ops.BloomParams.from_fpr(val, c)
             else:
                 params = bloom_ops.BloomParams.from_bits(val, c)
-            chunk_ids = np.arange(n_rows, dtype=np.int64) // c
-            matrix = bloom_ops.build_matrix(
-                g1, g2, nulls_np, chunk_ids, n_chunks, params, chunk_size=c
+            import os
+
+            use_dev = (
+                bloom_ops.device_build_ok(params, n_chunks_s // n_shards)
+                and n_chunks_s % n_shards == 0
+                and (
+                    jax.devices()[0].platform == "tpu"
+                    or os.environ.get("OTTERS_BLOOM_DEVICE")
+                )
             )
-            devcol["bloom"] = _put_padded(mesh, matrix, n_chunks_s, 0)
+            if use_dev:
+                # TPU path: per-shard device bit scatter from host hashes
+                # (SURVEY C10/C13 TPU-native column; round-4 item 5)
+                devcol["bloom"] = _bloom_sharded(
+                    mesh, g1, g2, nulls_np, c, n_pad_s, n_chunks_s, params
+                )
+            else:
+                chunk_ids = np.arange(n_rows, dtype=np.int64) // c
+                matrix = bloom_ops.build_matrix(
+                    g1, g2, nulls_np, chunk_ids, n_chunks, params,
+                    chunk_size=c,
+                )
+                devcol["bloom"] = _put_padded(mesh, matrix, n_chunks_s, 0)
             bloom_params[name] = params
         device_cols[name] = devcol
         col_reprs[name] = rep

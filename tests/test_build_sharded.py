@@ -622,3 +622,53 @@ def test_unaligned_chunk_append_and_load_fall_back(tmp_path):
     b = single.query(q, Metric.Cosine).meta_filter(col("p").lt(20.0)).take(5).collect()
     assert a.indices == b.indices
     np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5, atol=1e-5)
+
+
+def test_device_bloom_scatter_matches_host_bitforbit(monkeypatch):
+    """Round-4 item 5: the per-shard device Bloom scatter must produce the
+    SAME uint32 matrix as the host build, and string-Eq queries must agree
+    between the two builds."""
+    monkeypatch.setenv("OTTERS_BLOOM_DEVICE", "1")
+    rng = np.random.default_rng(11)
+    n, d = 20_000, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    tags = [None if i % 29 == 0 else f"tag-{i % 137}" for i in range(n)]
+    cols = [Column("tag", DataType.String).from_values(tags)]
+    mesh = make_mesh(rows=8)
+    dev_store = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vecs)
+        .with_chunk_size(1024)
+        .build_sharded(mesh)
+    )
+    monkeypatch.delenv("OTTERS_BLOOM_DEVICE")
+    host_store = (
+        MetaStore.from_columns(
+            [Column("tag", DataType.String).from_values(tags)]
+        )
+        .with_vectors(vecs)
+        .with_chunk_size(1024)
+        .build_sharded(mesh)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dev_store._device_cols["tag"]["bloom"]),
+        np.asarray(host_store._device_cols["tag"]["bloom"]),
+    )
+    q = rng.normal(size=d).astype(np.float32)
+    for rhs in ["tag-5", "tag-136", "absent"]:
+        a = (
+            dev_store.query(q, Metric.Cosine)
+            .meta_filter(col("tag").eq(rhs))
+            .take(7)
+            .collect()
+        )
+        sa = dev_store.last_query_stats()
+        b = (
+            host_store.query(q, Metric.Cosine)
+            .meta_filter(col("tag").eq(rhs))
+            .take(7)
+            .collect()
+        )
+        sb = host_store.last_query_stats()
+        assert a.indices == b.indices
+        assert sa.evaluated_chunks == sb.evaluated_chunks

@@ -156,6 +156,162 @@ print(f"proc {pid} OK", flush=True)
 """
 
 
+_EXOTIC_WORKER = r"""
+import os, sys, warnings
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from otters_tpu import Column, DataType, Metric, MetaStore, col
+from otters_tpu.parallel import init_distributed, make_mesh
+
+coord, pid, save_dir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+init_distributed(coordinator_address=coord, num_processes=2, process_id=pid)
+n_dev = len(jax.devices())
+mesh = make_mesh(rows=n_dev, batch=1)
+
+rng = np.random.default_rng(7)  # same data on every process
+n, d, chunk = 2048, 16, 256
+vectors = rng.normal(size=(n, d)).astype(np.float32)
+tag = [f"item-{i % 11}{'-x' if i % 3 == 0 else ''}" for i in range(n)]
+cols = [Column("tag", DataType.String).from_values(tag)]
+store = (
+    MetaStore.from_columns(cols)
+    .with_vectors(vectors)
+    .with_chunk_size(chunk)
+    .with_storage_dtype("int8")
+    .with_rerank_source(keep_host_f32=True)
+    .build_sharded(mesh)
+)
+queries = rng.normal(size=(2, d)).astype(np.float32)
+qi = 1 / np.linalg.norm(queries, axis=1)
+vi = 1 / np.linalg.norm(vectors, axis=1)
+s_all = (queries @ vectors.T) * qi[:, None] * vi[None, :]
+
+# 1) hostmask predicate (contains) across processes, exact via rerank
+r = (
+    store.query_batch(queries, Metric.Cosine)
+    .meta_filter(col("tag").contains("-x"))
+    .take(6, rerank_from=48)
+    .collect()
+)
+mask = np.array(["-x" in t for t in tag])
+s = s_all.copy(); s[:, ~mask] = -np.inf
+flat = s.reshape(-1)
+order = np.argsort(-flat, kind="stable")[:6]
+assert r.indices == (order % n).tolist(), (r.indices, (order % n).tolist())
+print(f"proc {pid} hostmask OK", flush=True)
+
+# 2) rerank resolve + int8 exactness certificate across processes
+r2 = (
+    store.query_batch(queries, Metric.Cosine)
+    .take(5, rerank_from=40)
+    .collect()
+)
+st = store.last_query_stats()
+assert st.certified is True, st
+flat2 = s_all.reshape(-1)
+want2 = (np.argsort(-flat2, kind="stable")[:5] % n).tolist()
+assert r2.indices == want2, (r2.indices, want2)
+print(f"proc {pid} certified rerank OK", flush=True)
+
+# 3) forced 64-bit hash collision: every string hashes identically, so the
+#    device Eq mask passes everything and the exact host-mask redo must run
+#    (collision probability is engineered to 1 here)
+from otters_tpu.ops import hashing
+orig = hashing.hash_strings
+def colliding(strings):
+    nn = len(strings)
+    return (np.full(nn, 12345, np.uint64), np.full(nn, 99991, np.uint64))
+hashing.hash_strings = colliding
+hashing_string_orig = hashing.hash_string
+hashing.hash_string = lambda s: (np.uint64(12345), np.uint64(99991))
+try:
+    collided_store = (
+        MetaStore.from_columns(
+            [Column("tag", DataType.String).from_values(tag)]
+        )
+        .with_vectors(vectors)
+        .with_chunk_size(chunk)
+        .build_sharded(mesh)
+    )
+    r3 = (
+        collided_store.query_batch(queries, Metric.Cosine)
+        .meta_filter(col("tag").eq("item-7"))
+        .take(6)
+        .collect()
+    )
+finally:
+    hashing.hash_strings = orig
+    hashing.hash_string = hashing_string_orig
+mask3 = np.array([t == "item-7" for t in tag])
+s3 = s_all.copy(); s3[:, ~mask3] = -np.inf
+flat3 = s3.reshape(-1)
+order3 = np.argsort(-flat3, kind="stable")[:6]
+assert r3.indices == (order3 % n).tolist(), (r3.indices, (order3 % n).tolist())
+print(f"proc {pid} collision redo OK", flush=True)
+
+# 4) per-shard save on BOTH processes + reload onto the same mesh
+store.delete_rows([3, 700])
+store.save(save_dir)  # collective (valid gather) + per-process shard files
+import jax.experimental.multihost_utils as mhu
+mhu.sync_global_devices("save done")
+re_sh = MetaStore.load(save_dir, mesh=mesh)
+assert len(re_sh) == n - 2
+r4a = store.query_batch(queries, Metric.Cosine).take(5, rerank_from=40).collect()
+r4b = re_sh.query_batch(queries, Metric.Cosine).take(5, rerank_from=40).collect()
+assert r4a.indices == r4b.indices, (r4a.indices, r4b.indices)
+np.testing.assert_allclose(r4a.scores, r4b.scores, rtol=1e-5, atol=1e-6)
+assert re_sh.last_query_stats().certified is True
+print(f"proc {pid} save/load OK", flush=True)
+print(f"proc {pid} OK", flush=True)
+"""
+
+
+def test_two_process_exotic_paths(tmp_path):
+    """Round-4 item 7: hostmask predicates, the hash-collision exact-mask
+    redo, rerank resolve with the int8 certificate, and per-shard
+    save/load — all across 2 real OS processes."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    save_dir = str(tmp_path / "mh_store")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _EXOTIC_WORKER, coord, str(pid), save_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed workers timed out")
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        if rc != 0 and (
+            "UNIMPLEMENTED" in err or "not supported" in err.lower()
+        ):
+            pytest.skip(
+                f"multi-process CPU collectives unsupported here: "
+                f"{err.splitlines()[-1] if err else rc}"
+            )
+        assert rc == 0, f"proc {pid} failed:\n{out}\n{err[-3000:]}"
+        assert f"proc {pid} OK" in out
+
+
 def test_two_process_build_sharded_metastore():
     """Round-3: the DIRECT sharded build + full meta query (zonemaps, Bloom,
     psum stats, all-gather merge) across two OS processes."""

@@ -373,3 +373,42 @@ def test_meta_panel_mode_reaches_vpu_gate(monkeypatch):
     for metric in (Metric.Cosine, Metric.Manhattan):
         r = store.query_batch(q, metric).take(4).collect()
         assert len(r) == 4
+
+
+def test_store_caches_are_lru_with_stats():
+    """Round-3 weak-6: the per-store caches evict LRU instead of silently
+    capping, and cache_stats() surfaces hits/misses/evictions."""
+    import numpy as np
+
+    from otters_tpu import Column, DataType, Metric, MetaStore, col
+
+    n, d = 2_048, 16
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    tags = Column("tag", DataType.String).from_values(
+        [f"t{i % 500}" for i in range(n)]
+    )
+    store = (
+        MetaStore.from_columns([tags])
+        .with_vectors(vecs)
+        .with_chunk_size(256)
+        .build()
+    )
+    store._hostmask_cache.cap = 4  # shrink to force eviction quickly
+    q = vecs[0]
+    for i in range(6):  # 6 distinct contains literals > cap 4
+        store.query(q, Metric.Cosine).meta_filter(
+            col("tag").contains(f"t{i}0")
+        ).take(3).collect()
+    st = store.cache_stats()["hostmask"]
+    assert st["size"] <= 4
+    assert st["evictions"] >= 2
+    # re-querying the most recent literal is a hit (clear the plan cache
+    # first — it would otherwise serve the whole lowered plan and never
+    # reach the hostmask layer)
+    h0 = st["hits"]
+    store._plan_cache.clear()
+    store.query(q, Metric.Cosine).meta_filter(
+        col("tag").contains("t50")
+    ).take(3).collect()
+    assert store.cache_stats()["hostmask"]["hits"] > h0
