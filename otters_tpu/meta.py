@@ -1043,7 +1043,9 @@ class MetaStore:
         self._rerank_fetch = None  # set via builder.with_rerank_source
         self._rerank_config = None  # the builder's (fetch, keep) tuple
         self._rerank_host = None  # keep_host_f32 snapshot (original order)
-        self._cert_kwide_hint = None  # narrowest scan that certified lately
+        # per-(filter, vec_filter, k) widths that recently certified — see
+        # MetaQueryPlan take()/result(); LRU so literal churn can't grow it
+        self._cert_kwide_hint = _LruCache(64)
         # LRU caches (bounded; a long-lived server cycling more distinct
         # plans/literals than the cap evicts oldest-used instead of
         # silently thrashing invisible recompute — see cache_stats())
@@ -1991,10 +1993,21 @@ class MetaQueryPlan:
                     )
                 certify = supported
                 if certify:
-                    # start at the widest scan that recently certified on
-                    # this store — re-running a known-too-narrow scan just
-                    # to fail its certificate wastes a full dispatch
-                    k = min(max(k, store._cert_kwide_hint or 0), n_pad)
+                    # start at the widest scan that recently certified for
+                    # THIS plan shape — re-running a known-too-narrow scan
+                    # just to fail its certificate wastes a full dispatch.
+                    # Keyed per (filter, vec_filter, k): a prune-heavy
+                    # filter's wide hint must not widen (and possibly
+                    # de-pallas) an unfiltered plan's scans, and vice versa
+                    self._hint_key = (
+                        self._meta_filter.clauses
+                        if self._meta_filter is not None
+                        else None,
+                        self._vec_filter,
+                        self._take_count,
+                    )
+                    hint = store._cert_kwide_hint.get(self._hint_key, 0)
+                    k = min(max(k, hint), n_pad)
 
             k_eff = min(k, b * n_pad)
             if store._supports_windowed and scoring.needs_windowed(
@@ -2361,10 +2374,14 @@ class PendingMetaQuery:
                         )
                     self._certified = certified
                     self._scan_k_wide = k_used
-                    if certified and k_used > (
-                        store._cert_kwide_hint or 0
-                    ) and k_used > self._k:
-                        store._cert_kwide_hint = k_used
+                    hk = getattr(plan, "_hint_key", None)
+                    if (
+                        certified
+                        and hk is not None
+                        and k_used > self._k
+                        and k_used > store._cert_kwide_hint.get(hk, 0)
+                    ):
+                        store._cert_kwide_hint[hk] = k_used
                     if not certified:
                         import warnings
 

@@ -112,10 +112,10 @@ def test_adversarial_near_ties_widen_and_exact():
     np.testing.assert_allclose(
         np.asarray(res.scores), s[order[:10]], rtol=1e-5, atol=1e-6
     )
-    # the working width is remembered: the next identical query starts
-    # wide and certifies without re-widening
-    hint = store._cert_kwide_hint
-    assert hint == stats.scan_k_wide
+    # the working width is remembered (keyed per plan shape): the next
+    # identical query starts wide and certifies without re-widening
+    assert list(store._cert_kwide_hint.values()) == [stats.scan_k_wide]
+    hint = stats.scan_k_wide
     res2 = store.query(q[0], Metric.Cosine).take(10, rerank_from=20).collect()
     stats2 = store.last_query_stats()
     assert stats2.certified is True
@@ -350,3 +350,37 @@ def test_sharded_certificate_exact(via_shard):
     np.testing.assert_allclose(
         np.asarray(res.scores), s[order[:10]], rtol=1e-5, atol=1e-6
     )
+
+
+def test_hint_is_per_plan_shape():
+    """A prune-heavy filtered plan's wide certified width must NOT widen an
+    unfiltered plan's scans (hint cross-contamination would eventually push
+    the headline path off the fused kernel)."""
+    vecs, q, order = _near_tie_vectors(seed=47)
+    n = len(vecs)
+    ids = Column("id", DataType.Int64).from_values(list(range(n)))
+    flag = Column("flag", DataType.Int32).from_values(
+        [i % 2 for i in range(n)]
+    )
+    store = (
+        MetaStore.from_columns([ids, flag])
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    from otters_tpu import col
+
+    # filtered plan: widens to certify
+    store.query(q[0], Metric.Cosine).meta_filter(col("flag").eq(0)).take(
+        10, rerank_from=20
+    ).collect()
+    w_filtered = store.last_query_stats().scan_k_wide
+    assert w_filtered > 20
+    # unfiltered plan: must start at ITS OWN width (20), not the filtered
+    # plan's widened one
+    store.query(q[0], Metric.Cosine).take(10, rerank_from=20).collect()
+    st = store.last_query_stats()
+    assert st.certified is True
+    assert len(store._cert_kwide_hint) == 2  # two distinct plan shapes
