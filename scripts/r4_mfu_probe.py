@@ -1,0 +1,215 @@
+"""Round-4 MFU probes at the 10M x 768 north star (real TPU only).
+
+Answers, in order (VERDICT round-3 item 2 says *check the wall first*):
+
+  P0  int8 MXU rate, Mosaic vs plain XLA: round-2 probes measured Mosaic
+      int8 dots at the bf16 rate (~197 TOPS on v5e), not the 2x int8 mode.
+      If a plain-XLA `lax.dot_general(int8, int8) -> int32` hits 2x, the
+      unfiltered scan has a different ceiling than we think.
+  P1  where the unfiltered 10M batch=256 time goes: phase-1-only (k-free
+      bin maxima) vs full kernel at k'=100 vs k'=400 (the certificate's
+      steady-state width) vs k'=1024.
+  P2  tile-size sweep at b=256 within the VMEM formula.
+  P3  end-to-end qps with certification on vs off (collect_async+resolve
+      pipeline, 16 batches), on synthetic gaussian data.
+
+Timing discipline: the axon tunnel makes block_until_ready a no-op — every
+measurement uses N dependent iterations via lax.fori_loop + ONE value fetch
+(see scripts/README.md).
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+D = 768
+B = 256
+
+
+def timed_loop(fn, state, iters=8, label=""):
+    """N dependent applications of fn + one scalar fetch -> seconds/iter."""
+
+    @jax.jit
+    def run(s):
+        return lax.fori_loop(0, iters, lambda i, c: fn(c), s)
+
+    out = run(state)
+    _sync(out)  # compile + warm
+    t0 = time.perf_counter()
+    out = run(state)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"  {label}: {dt * 1e3:.2f} ms/iter")
+    return dt
+
+
+def _sync(tree):
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    float(np.asarray(leaf.reshape(-1)[0]))
+
+
+def p0_int8_rate():
+    print("P0: int8 MXU rate, Mosaic (via existing kernel) vs plain XLA")
+    n = 1 << 20
+    key = jax.random.PRNGKey(0)
+    v8 = jax.random.randint(key, (n, D), -127, 128, dtype=jnp.int8)
+    q8 = jax.random.randint(key, (B, D), -127, 128, dtype=jnp.int8)
+
+    def xla_dot(c):
+        s = lax.dot_general(
+            q8, v8,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return jnp.max(s, axis=1).astype(jnp.int32) + c
+
+    dt = timed_loop(xla_dot, jnp.zeros((B,), jnp.int32), label="XLA int8 dot 1M")
+    tops = 2 * n * D * B / dt / 1e12
+    print(f"  -> {tops:.1f} TOPS (v5e bf16 peak ~197, int8 2x mode ~394)")
+
+    def xla_bf16(c):
+        s = lax.dot_general(
+            q8.astype(jnp.bfloat16), v8.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.max(s, axis=1) + c
+
+    dtb = timed_loop(xla_bf16, jnp.zeros((B,), jnp.float32), label="XLA bf16 dot 1M")
+    print(f"  -> bf16 {2 * n * D * B / dtb / 1e12:.1f} TOPS "
+          f"(int8/bf16 speed ratio {dtb / dt:.2f}x)")
+
+
+def _build_10m_int8():
+    from otters_tpu.ops import scoring
+
+    n = 10_000_000
+
+    def slab(start, rows):
+        k = jax.random.fold_in(jax.random.PRNGKey(7), start)
+        return jax.random.normal(k, (rows, D), jnp.float32)
+
+    t0 = time.perf_counter()
+    dv = scoring.materialize_int8_slabs(slab, n, D, 1 << 20)
+    float(np.asarray(dv.norms_sq[123]))
+    print(f"  built 10M int8 in {time.perf_counter() - t0:.1f}s")
+    return dv, n
+
+
+def p1_phase_split(dv, n):
+    from otters_tpu.ops import pallas_topk as pk
+
+    print("P1: unfiltered scan cost vs k' (b=256)")
+    n_pad = dv.vectors.shape[0]
+    qk = jax.random.normal(jax.random.PRNGKey(3), (B, D), jnp.float32)
+    t = pk.choose_tile(D, n_pad, pk._pad_b(B))
+    alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
+    for k in (10, 100, 400, 1024):
+        def step(c, k=k):
+            rows, scores, ok, check, bound = pk.pallas_topk(
+                dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+                qk + c * 0, None, jnp.float32(0.0), alive,
+                metric=__import__("otters_tpu.types", fromlist=["Metric"]).Metric.Cosine,
+                k=k, take_min=False, cmp=None, prec="default",
+            )
+            return c + scores[0]
+
+        dt = timed_loop(step, jnp.float32(0.0), iters=4, label=f"k'={k}")
+        print(f"    -> {B / dt:.0f} q/s, "
+              f"{2 * n * D * B / dt / 1e12:.0f} TOPS-equivalent")
+
+
+def p2_tile_sweep(dv, n):
+    from otters_tpu.ops import pallas_topk as pk
+    from otters_tpu.types import Metric
+
+    print("P2: tile sweep at b=256, k'=100")
+    n_pad = dv.vectors.shape[0]
+    qk = jax.random.normal(jax.random.PRNGKey(4), (B, D), jnp.float32)
+    for t in (512, 1024, 2048, 4096):
+        if n_pad % t:
+            continue
+        alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
+        b_pad = pk._pad_b(B)
+        vmem = b_pad * D * 4 + 2 * t * D * 4 + 3 * t * b_pad * 4
+        if vmem > 13 * (1 << 20):
+            print(f"  tile {t}: skipped (VMEM {vmem >> 20} MiB)")
+            continue
+
+        def step(c, t=t, alive=alive):
+            rows, scores, ok, check, bound = pk.pallas_topk(
+                dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+                qk + c * 0, None, jnp.float32(0.0), alive,
+                metric=Metric.Cosine, k=100, take_min=False, cmp=None,
+                prec="default", tile_rows=t,
+            ) if "tile_rows" in pk.pallas_topk.__code__.co_varnames else (
+                None, jnp.zeros(100), None, None, None
+            )
+            return c + scores[0]
+
+        try:
+            dt = timed_loop(step, jnp.float32(0.0), iters=4, label=f"tile={t}")
+            print(f"    -> {B / dt:.0f} q/s")
+        except Exception as e:  # tile knob may not exist; choose_tile rules
+            print(f"  tile {t}: n/a ({type(e).__name__})")
+            break
+
+
+def p3_cert_end_to_end():
+    from otters_tpu import Column, DataType, Metric, MetaStore
+    from otters_tpu.meta import resolve
+    from otters_tpu.ops import scoring
+
+    print("P3: end-to-end certified vs uncertified (2M rows, b=256)")
+    n = 2_000_000
+
+    def slab(start, rows):
+        k = jax.random.fold_in(jax.random.PRNGKey(9), start)
+        return jax.random.normal(k, (rows, D), jnp.float32)
+
+    dv = scoring.materialize_int8_slabs(slab, n, D, 1 << 20)
+    host = np.concatenate(
+        [np.asarray(slab(s, min(1 << 20, n - s)), np.float32)
+         for s in range(0, n, 1 << 20)]
+    )[:n]
+    ids = Column("id", DataType.Int64).from_values(list(range(n)))
+    store = (
+        MetaStore.from_columns([ids])
+        .with_vectors(dv, n_rows=n)
+        .with_chunk_size(2048)
+        .with_rerank_source(fetch_vectors=lambda i: host[np.asarray(i)])
+        .build()
+    )
+    qs = [jax.random.normal(jax.random.PRNGKey(100 + i), (B, D), jnp.float32)
+          for i in range(16)]
+    for certify in (False, None):
+        def dispatch(i):
+            return (
+                store.query_batch(qs[i % 16], Metric.Cosine)
+                .take(10, rerank_from=100, certify=certify)
+                .collect_async()
+            )
+
+        r = dispatch(0).result()
+        st = store.last_query_stats()
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            resolve([dispatch(i) for i in range(16)])
+            best = max(best, 16 * B / (time.perf_counter() - t0))
+        print(f"  certify={certify}: {best:.0f} q/s "
+              f"(certified={st.certified}, width={st.scan_k_wide})")
+
+
+if __name__ == "__main__":
+    print("platform:", jax.devices()[0].platform)
+    p0_int8_rate()
+    dv, n = _build_10m_int8()
+    p1_phase_split(dv, n)
+    p2_tile_sweep(dv, n)
+    del dv
+    p3_cert_end_to_end()
