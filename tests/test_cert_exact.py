@@ -384,3 +384,58 @@ def test_hint_is_per_plan_shape():
     st = store.last_query_stats()
     assert st.certified is True
     assert len(store._cert_kwide_hint) == 2  # two distinct plan shapes
+
+
+import os
+
+
+@pytest.mark.parametrize(
+    "trial", range(int(os.environ.get("OTTERS_CERT_FUZZ_TRIALS", "15")))
+)
+def test_cert_soundness_fuzz(trial):
+    """Property fuzz for the certificate's core contract: whenever a query
+    reports certified=True, its results must EXACTLY equal the f32 oracle
+    (same rows, same order) — across random shapes, tie structures, k,
+    rerank widths, and Gt filters. certified=False is allowed (cap), wrong
+    certified results are not."""
+    rng = np.random.default_rng(1000 + trial)
+    d = int(rng.choice([16, 32, 64, 96]))
+    n = int(rng.choice([2048, 4096, 8192]))
+    n_tie = int(rng.choice([0, 32, 128]))
+    vecs = rng.normal(size=(n, d))
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    if n_tie:
+        w = rng.normal(size=(n_tie, d))
+        w -= (w @ u)[:, None] * u[None, :]
+        w /= np.linalg.norm(w, axis=1, keepdims=True)
+        eps = 0.05 + 0.3 * rng.permutation(n_tie) / max(n_tie, 1)
+        vecs[:n_tie] = u[None, :] + eps[:, None] * w
+    vecs = vecs.astype(np.float32)
+    store = _int8_store(vecs, chunk=int(rng.choice([256, 512])))
+    k = int(rng.integers(1, 12))
+    kw = int(rng.integers(k, 4 * k + 8))
+    q = (u + 0.01 * rng.normal(size=d)).astype(np.float32)
+    plan = store.query(q, Metric.Cosine)
+    s = _cosine_oracle(q[None], vecs)[0]
+    thr = None
+    if rng.random() < 0.4:
+        thr = float(np.quantile(s, rng.uniform(0.5, 0.999)))
+        plan = plan.vec_filter(thr, Cmp.Gt)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = plan.take(k, rerank_from=kw).collect()
+    st = store.last_query_stats()
+    if st.certified is not True:
+        return  # cap hit — allowed, just not certified
+    if thr is not None:
+        s = np.where(s > thr, s, -np.inf)
+    want = [int(i) for i in np.argsort(-s, kind="stable") if s[i] > -np.inf][
+        :k
+    ]
+    assert res.indices == want, (trial, res.indices, want)
+    np.testing.assert_allclose(
+        np.asarray(res.scores), s[want], rtol=1e-5, atol=1e-6
+    )
