@@ -139,3 +139,99 @@ def test_stats_consistent_for_null_predicates_on_zordered_store():
     # z-order clusters nulls (max code): most chunks have no nulls
     assert st.pruned_chunks > st.total_chunks // 2
     assert st.evaluated_chunks >= 1
+
+
+def test_certify_survives_delete_append_saveload(tmp_path):
+    """Round-4 seam: the exactness certificate must stay sound through a
+    delete -> append -> save -> load chain on an int8 + keep_host_f32
+    store (residuals and the rerank snapshot must track every rebuild)."""
+    n, d = 4_096, 32
+    r = np.random.default_rng(21)
+    vecs = r.normal(size=(n, d)).astype(np.float32)
+    ids = Column("id", DataType.Int64).from_values(list(range(n)))
+    store = (
+        MetaStore.from_columns([ids])
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+
+    def oracle(q, rows):
+        s = (rows @ q) / (
+            np.linalg.norm(rows, axis=1) * np.linalg.norm(q) + 1e-30
+        )
+        return s
+
+    q = vecs[17]
+
+    store.delete_rows([17])  # delete the best match itself
+    res = store.query(q, Metric.Cosine).take(5, rerank_from=40).collect()
+    st = store.last_query_stats()
+    assert st.certified is True
+    s = oracle(q, vecs)
+    s[17] = -np.inf
+    want = np.argsort(-s, kind="stable")[:5].tolist()
+    assert res.indices == want
+
+    newv = r.normal(size=(8, d)).astype(np.float32)
+    newv[0] = vecs[17]  # re-add an exact twin of the deleted row
+    ap = store.append(newv, {"id": list(range(n, n + 8))})
+    res2 = ap.query(q, Metric.Cosine).take(5, rerank_from=40).collect()
+    assert ap.last_query_stats().certified is True
+    rows2 = np.concatenate([np.delete(vecs, 17, axis=0), newv])
+    s2 = oracle(q, rows2)
+    want2 = np.argsort(-s2, kind="stable")[:5].tolist()
+    assert res2.indices == want2
+    assert res2.indices[0] == len(rows2) - 8  # the twin wins
+
+    path = str(tmp_path / "chain.npz")
+    ap.save(path)
+    re = MetaStore.load(path)
+    res3 = re.query(q, Metric.Cosine).take(5, rerank_from=40).collect()
+    assert re.last_query_stats().certified is True
+    assert res3.indices == res2.indices
+    np.testing.assert_allclose(res3.scores, res2.scores, rtol=1e-6, atol=1e-7)
+
+
+def test_certify_with_zorder_and_null_filter():
+    """Certificate x z-order (index_map remap) x null-aware predicate."""
+    n, d = 4_096, 32
+    r = np.random.default_rng(22)
+    vecs = r.normal(size=(n, d)).astype(np.float32)
+    cols = [
+        Column("v", DataType.Int32).from_values(
+            [None if i % 7 == 0 else i % 50 for i in range(n)]
+        ),
+        Column("g", DataType.String).from_values(
+            [f"g{i % 5}" for i in range(n)]
+        ),
+    ]
+    store = (
+        MetaStore.from_columns(cols)
+        .with_vectors(vecs)
+        .with_chunk_size(512)
+        .with_storage_dtype("int8")
+        .with_z_order(["v", "g"])
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    q = vecs[33]
+    expr = col("v").is_not_null() & col("g").eq("g2")
+    res = (
+        store.query(q, Metric.Cosine)
+        .meta_filter(expr)
+        .take(6, rerank_from=48)
+        .collect()
+    )
+    assert store.last_query_stats().certified is True
+    mask = np.array(
+        [i % 7 != 0 and i % 5 == 2 for i in range(n)]
+    )
+    s = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    s[~mask] = -np.inf
+    want = [int(i) for i in np.argsort(-s, kind="stable") if s[i] > -np.inf][
+        :6
+    ]
+    assert res.indices == want
