@@ -261,8 +261,14 @@ def save_meta_sharded(store, path: str) -> None:
         dv.vectors.addressable_shards, key=lambda s: s.index[0].start or 0
     ):
         lo = s.index[0].start or 0
+        if s.replica_id != 0:
+            # replicated copy (e.g. along a batch mesh axis): exactly one
+            # process owns replica 0 of each row block, so only it writes —
+            # cross-process duplicates would tear files on a shared FS and
+            # double-list ranges in the manifests
+            continue
         if lo in seen:
-            continue  # replicated copy (e.g. along a batch mesh axis)
+            continue
         seen.add(lo)
         data = np.asarray(s.data)
         hi = min(lo + data.shape[0], n)
@@ -328,6 +334,10 @@ def save_meta_sharded(store, path: str) -> None:
         "row_ranges": ranges,
         "files": files,
         "has_resid": bool(resid_by_start) and not keep_rerank,
+        # load merges EXACTLY manifests 0..process_count-1: a re-save from
+        # fewer processes must not resurrect a stale higher-numbered
+        # manifest left in the directory
+        "process_count": jax.process_count(),
     }
     pid = jax.process_index()
     with open(os.path.join(path, f"manifest_{pid:05d}.json"), "w") as f:
@@ -365,13 +375,23 @@ def load_meta_dir(path: str, mesh=None) -> MetaStore:
     mfs = sorted(glob.glob(os.path.join(path, "manifest_*.json")))
     if not mfs:
         raise OttersError(f"{path} does not contain a sharded MetaStore")
-    manifests = []
-    for p in mfs:
-        with open(p) as f:
-            manifests.append(json.load(f))
-    m0 = manifests[0]
+    with open(mfs[0]) as f:
+        m0 = json.load(f)
     if m0.get("kind") != "MetaStore" or m0.get("layout") != "sharded-v1":
         raise OttersError(f"{path} does not contain a sharded MetaStore")
+    # merge exactly the manifests the LAST save wrote (stale higher-numbered
+    # manifests from an earlier wider-cluster save are ignored)
+    n_procs = int(m0.get("process_count", len(mfs)))
+    manifests = [m0]
+    for pid_i in range(1, n_procs):
+        p = os.path.join(path, f"manifest_{pid_i:05d}.json")
+        if not os.path.exists(p):
+            raise OttersError(
+                f"sharded store at {path} was saved by {n_procs} processes "
+                f"but manifest_{pid_i:05d}.json is missing"
+            )
+        with open(p) as f:
+            manifests.append(json.load(f))
     n, d = m0["n_rows"], m0["dim"]
     chunk = m0["chunk_size"]
     storage = m0.get("storage_dtype", "float32")
@@ -441,6 +461,18 @@ def load_meta_dir(path: str, mesh=None) -> MetaStore:
         return block
 
     slab_rows = min(max(chunk, 1 << 16), 1 << 20)
+    if mesh is not None:
+        # chunk sizes that don't align with the scan tile (possible on
+        # shard()-created stores) cannot go through direct sharded ingest;
+        # rebuild single-device and re-shard, like build_sharded_or_shard
+        import math
+
+        from .ops import scoring as _sc
+        from .parallel.meta_sharded import ShardedMetaStore
+
+        lcm = _sc.SCAN_TILE * chunk // math.gcd(_sc.SCAN_TILE, chunk)
+        if lcm > 4 * _sc.SCAN_TILE:
+            return ShardedMetaStore.shard(load_meta_dir(path, mesh=None), mesh)
     if mesh is not None:
         from .parallel import meta_sharded as msh
 

@@ -1152,7 +1152,57 @@ class MetaStore:
         mask spans non-addressable devices; the sharded override gathers it
         with a replicating collective (every process must call this
         together — delete/append/save are collective there)."""
-        return np.asarray(self._dv.valid)
+        return self._host_gather(self._dv.valid)
+
+    def _host_gather(self, arr) -> np.ndarray:
+        """Device array -> host. Sharded override replicate-gathers
+        non-addressable arrays (collective)."""
+        return np.asarray(arr)
+
+    def _place_resid(self, resid_host: np.ndarray):
+        """Place an [n_pad] residual array back on device and re-derive
+        bins/max. Sharded override keeps the row sharding."""
+        import jax.numpy as jnp
+
+        r = jnp.where(self._dv.valid, jnp.asarray(resid_host), 0.0)
+        rbin, rmax = scoring.finalize_resid(r)
+        self._dv = self._dv._replace(resid=r, resid_bin=rbin, resid_max=rmax)
+
+    def _carry_resid_forward(self, new: "MetaStore") -> None:
+        """int8 append without keep_host_f32: the rebuild re-quantizes the
+        CODES, so the new store's recomputed residuals are only the 1e-6
+        floor — sound versus the codes, but NOT the original-source bounds
+        the certificate/persistence machinery documents. Surviving rows
+        therefore keep their ORIGINAL residuals (>= the floor always);
+        appended rows keep the rebuild's fresh true-source values."""
+        if (
+            self._storage_dtype != "int8"
+            or self._rerank_config is not None
+            or self._dv is None
+            or self._dv.resid is None
+            or new._dv is None
+            or new._dv.resid is None
+        ):
+            return
+        n = self._n_rows
+        old_resid = self._host_gather(self._dv.resid)[:n]
+        valid = self._host_valid()[:n]
+        if self._index_map is not None:
+            inv = np.empty(n, dtype=np.int64)
+            inv[self._index_map] = np.arange(n)
+            old_resid = old_resid[inv]  # device -> original order
+            valid = valid[inv]
+        carried = old_resid[np.flatnonzero(valid)]
+        n_keep = len(carried)
+        resid_new = new._host_gather(new._dv.resid).copy()
+        if new._index_map is not None:
+            orig = np.asarray(new._index_map, dtype=np.int64)
+            sel = orig < n_keep
+            dev_pos = np.flatnonzero(sel)
+            resid_new[dev_pos] = carried[orig[dev_pos]]
+        else:
+            resid_new[:n_keep] = carried
+        new._place_resid(resid_new)
 
     def _place_valid(self, valid: np.ndarray):
         """Place the updated [n_pad] validity mask on device. Sharded
@@ -1175,6 +1225,7 @@ class MetaStore:
         """
         new = self._append_builder(vectors, column_values).build()
         new.precision = self.precision
+        self._carry_resid_forward(new)
         return new
 
     def _append_prep(self, vectors, column_values):
@@ -1475,11 +1526,7 @@ class MetaStore:
         certify = (
             certify
             and not strict
-            and dv.vectors.dtype == jnp.int8
-            and dv.resid is not None
-            and metric is Metric.Cosine
-            and not take_min
-            and cmp in (None, Cmp.Gt, Cmp.Gte)
+            and self._certify_supported(metric, take_min, cmp)
             and tile != "scan_pruned"  # its program returns no bound
             and (tile != "pallas" or dv.resid_bin is not None)
         )
@@ -1746,6 +1793,12 @@ class MetaQueryPlan:
                     f"rerank_from ({rf}) must be >= take k ({int(k)})"
                 )
             self._rerank_from = rf
+        if certify is True and rerank_from is None:
+            raise OttersError(
+                "take(certify=True) requires rerank_from: the certificate "
+                "compares the k-th EXACT rerank score against the scan's "
+                "bound — there is no exact score without a rerank"
+            )
         self._certify = certify
         return self
 
@@ -2013,6 +2066,13 @@ class MetaQueryPlan:
             if store._supports_windowed and scoring.needs_windowed(
                 n_pad, b, k_eff
             ):
+                if self._certify is True:
+                    raise OttersError(
+                        "take(certify=True): this k falls into the windowed "
+                        "take-all regime, whose streaming program returns "
+                        "no certificate bound; drop certify or use a "
+                        "device-top-k-sized take"
+                    )
                 # take-all regime (reference meta.rs:638-640): no device
                 # top-k buffer fits, stream score windows to the host
                 raw = fetched = self._collect_windowed(

@@ -35,6 +35,23 @@ def substr_mask(
     return _substr_mask_numpy(data, offsets, pattern, mode)
 
 
+_BYTES_CACHE: dict = {}  # id(arena) -> (arena ref, bytes copy)
+
+
+def _arena_bytes(data: np.ndarray) -> bytes:
+    """bytes view of the arena, cached per arena object: the fallback's
+    C-speed ``bytes.find`` needs a bytes object, but re-copying a
+    multi-hundred-MB arena per distinct literal would dwarf the search."""
+    ent = _BYTES_CACHE.get(id(data))
+    if ent is not None and ent[0] is data:
+        return ent[1]
+    buf = data.tobytes()
+    if len(_BYTES_CACHE) >= 16:
+        _BYTES_CACHE.clear()
+    _BYTES_CACHE[id(data)] = (data, buf)
+    return buf
+
+
 def _substr_mask_numpy(
     data: np.ndarray, offsets: np.ndarray, pattern: str, mode: str
 ) -> np.ndarray:
@@ -61,7 +78,7 @@ def _substr_mask_numpy(
         block = data[starts[:, None] + np.arange(plen, dtype=np.int64)]
         out[ok] = (block == pat[None, :]).all(axis=1)
         return out
-    buf = data.tobytes()
+    buf = _arena_bytes(data)
     pb = bytes(pat)
     pos = buf.find(pb)
     hits = []

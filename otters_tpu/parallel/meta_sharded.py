@@ -321,10 +321,9 @@ class ShardedMetaStore(MetaStore):
     def _place_valid(self, valid):
         return _put_padded(self.mesh, valid, valid.shape[0], False)
 
-    def _host_valid(self):
-        v = self._dv.valid
-        if v.is_fully_addressable:
-            return np.asarray(v)
+    def _host_gather(self, arr):
+        if arr.is_fully_addressable:
+            return np.asarray(arr)
         # multi-process mesh: replicate-gather (COLLECTIVE — all processes
         # must reach this point together; delete/append/save are collective)
         import jax
@@ -333,8 +332,13 @@ class ShardedMetaStore(MetaStore):
         return np.asarray(
             jax.jit(
                 lambda x: x, out_shardings=NamedSharding(self.mesh, P())
-            )(v)
+            )(arr)
         )
+
+    def _place_resid(self, resid_host):
+        resid = _put_padded(self.mesh, resid_host, resid_host.shape[0], 0.0)
+        r, rbin, rmax = _sharded_resid_finalize(self.mesh, resid, self._dv.valid)
+        self._dv = self._dv._replace(resid=r, resid_bin=rbin, resid_max=rmax)
 
     def append(self, vectors, column_values):
         """Append rows: surviving + new rows are re-chunked and rebuilt
@@ -362,6 +366,7 @@ class ShardedMetaStore(MetaStore):
                 self._append_builder(vectors, column_values), self.mesh
             )
         new.precision = self.precision
+        self._carry_resid_forward(new)
         return new
 
     def _append_streaming(self, vectors, column_values) -> "ShardedMetaStore":

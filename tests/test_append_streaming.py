@@ -157,6 +157,7 @@ def test_int8_repeated_append_codes_bit_identical():
     mesh = make_mesh(rows=8)
     store = _build(vecs, mesh, storage="int8")
     gen0 = np.asarray(store._dv.vectors)[:n].copy()
+    resid0 = np.asarray(store._dv.resid)[:n].copy()
     cur = store
     total = n
     for g in range(3):
@@ -166,6 +167,10 @@ def test_int8_repeated_append_codes_bit_identical():
         )
         codes = np.asarray(cur._dv.vectors)
         np.testing.assert_array_equal(codes[:n], gen0)  # zero drift
+        # the ORIGINAL true-source residual bounds survive every rebuild
+        # (the rebuild's own recomputation would collapse them to the
+        # codes-vs-codes floor)
+        np.testing.assert_array_equal(np.asarray(cur._dv.resid)[:n], resid0)
         total += m
     assert cur.n_rows == n + 3 * 128
 

@@ -439,3 +439,24 @@ def test_cert_soundness_fuzz(trial):
     np.testing.assert_allclose(
         np.asarray(res.scores), s[want], rtol=1e-5, atol=1e-6
     )
+
+
+def test_certify_true_requires_rerank_and_rejects_windowed():
+    """Review regressions: certify=True without rerank_from must raise (it
+    silently no-op'd), and certify=True whose k falls into the windowed
+    take-all regime must raise rather than silently answer uncertified."""
+    vecs, _ = synthetic_catalog(2_048, 32, seed=2)
+    store = _int8_store(vecs, chunk=256)
+    with pytest.raises(OttersError, match="requires rerank_from"):
+        store.query(vecs[0], Metric.Cosine).take(5, certify=True)
+    from otters_tpu.ops import scoring as _sc
+
+    if store._supports_windowed and _sc.needs_windowed(
+        store._dv.vectors.shape[0], 1, 2_048
+    ):
+        with pytest.raises(OttersError, match="windowed"):
+            (
+                store.query(vecs[0], Metric.Cosine)
+                .take(2_048, rerank_from=2_048, certify=True)
+                .collect()
+            )
