@@ -823,12 +823,6 @@ class ShardedMetaStore(MetaStore):
         """
         import jax
 
-        if jax.process_count() > 1:
-            raise OttersError(
-                "take-all on a multi-process sharded store is not "
-                "supported (results from non-addressable shards cannot "
-                "be collected); use take(k) or a single-process mesh"
-            )
         n_pad = self._dv.vectors.shape[0]
         b = queries.shape[0]
         if b * n_pad > scoring.TAKE_ALL_LIMIT:
@@ -837,12 +831,29 @@ class ShardedMetaStore(MetaStore):
                 f"{b * n_pad} candidate scores (> {scoring.TAKE_ALL_LIMIT});"
                 " use a smaller take(k) or fewer queries per batch"
             )
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # cross-process merge replicates every shard's k_r-sized
+            # candidate list onto every host; cap the replicated state
+            n_shards = self.mesh.shape["rows"]
+            n_loc_g = n_pad // n_shards
+            k_r_g = min(k_eff, b * n_loc_g)
+            if n_shards * k_r_g > (1 << 27):
+                raise OttersError(
+                    "take-all on a multi-process sharded store replicates "
+                    f"{n_shards} x {k_r_g} merged candidates per host "
+                    "(> 2^27); use a smaller take(k), fewer queries per "
+                    "batch, or a single-process mesh"
+                )
 
-        # one (row_start, device) per distinct row block; batch-axis
-        # replicas collapse to the first device seen
+        # one (row_start, device) per distinct row block: replica 0 only,
+        # so batch-axis replicas collapse AND no row block is double-
+        # collected across processes
         blocks = {}
         for sh in self._dv.vectors.addressable_shards:
             start = sh.index[0].start or 0
+            if sh.replica_id != 0:
+                continue
             if start not in blocks:
                 blocks[start] = (sh.device, sh.data.shape[0])
         chunk_ranges = {}  # device -> (chunk_start, chunk_len)
@@ -947,6 +958,45 @@ class ShardedMetaStore(MetaStore):
             sc_all[sl] = sc_r
             ok_all[sl] = ok_r
 
+        if multiproc:
+            # cross-process merge: every process contributes its local
+            # shards' candidate lists at their GLOBAL shard slots (padding
+            # slots sort last: ok=False, key=+inf), then one allgather +
+            # the same exact tie-order sort everywhere
+            from jax.experimental import multihost_utils as mhu
+
+            gtotal = n_shards * k_r_g
+            gkey = np.full(gtotal, np.inf, np.float32)
+            gflat = np.full(gtotal, np.iinfo(np.int32).max, np.int32)
+            grows = np.zeros(gtotal, np.int32)
+            gsc = np.zeros(gtotal, np.float32)
+            gok = np.zeros(gtotal, bool)
+            off = 0
+            for (row_start, dv_loc, *_), k_r in zip(block_list, k_per):
+                slot = (row_start // n_loc_g) * k_r_g
+                sl_l = slice(off, off + k_r)
+                sl_g = slice(slot, slot + k_r)
+                gkey[sl_g] = key[sl_l]
+                gflat[sl_g] = flat[sl_l]
+                grows[sl_g] = rows_all[sl_l]
+                gsc[sl_g] = sc_all[sl_l]
+                gok[sl_g] = ok_all[sl_l]
+                off += k_r
+            # min-reduce keys slot-wise across processes (each slot is
+            # owned by exactly one process; others hold the +inf padding)
+            allg = mhu.process_allgather(
+                (gkey, gflat, grows, gsc, gok, np.int64(ev_total),
+                 np.int64(re_total)),
+                tiled=False,
+            )
+            akey, aflat, arows, asc, aok, aev, are_ = allg
+            key = np.asarray(akey).reshape(-1)
+            flat = np.asarray(aflat).reshape(-1)
+            rows_all = np.asarray(arows).reshape(-1)
+            sc_all = np.asarray(asc).reshape(-1)
+            ok_all = np.asarray(aok).reshape(-1)
+            ev_total = np.int32(np.asarray(aev).sum())
+            re_total = np.int32(np.asarray(are_).sum())
         if not plan_static:
             ev_total = np.int32(self.n_chunks())
             re_total = np.int32(self.n_rows)

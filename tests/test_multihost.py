@@ -266,6 +266,28 @@ assert r4a.indices == r4b.indices, (r4a.indices, r4b.indices)
 np.testing.assert_allclose(r4a.scores, r4b.scores, rtol=1e-5, atol=1e-6)
 assert re_sh.last_query_stats().certified is True
 print(f"proc {pid} save/load OK", flush=True)
+
+# 5) take-all across processes: per-shard windowed collection merged by a
+#    cross-process allgather in the exact single-device tie order
+f32_store = (
+    MetaStore.from_columns(
+        [Column("tag", DataType.String).from_values(tag)]
+    )
+    .with_vectors(vectors)
+    .with_chunk_size(chunk)
+    .build_sharded(mesh)
+)
+r5 = (
+    f32_store.query_batch(queries[:1], Metric.Cosine)
+    .meta_filter(col("tag").eq("item-3"))
+    .collect()  # no take(k): EVERY passing row
+)
+mask5 = np.array([t == "item-3" for t in tag])
+s5 = s_all[:1].copy(); s5[:, ~mask5] = -np.inf
+flat5 = s5.reshape(-1)
+order5 = [int(i) for i in np.argsort(-flat5, kind="stable") if flat5[i] > -np.inf]
+assert r5.indices == order5, (len(r5.indices), len(order5), r5.indices[:5], order5[:5])
+print(f"proc {pid} take-all OK", flush=True)
 print(f"proc {pid} OK", flush=True)
 """
 
