@@ -937,7 +937,13 @@ SCAN_K_MAX = DIRECT_LIMIT // 4
 # ~= 2.7 GB. Matches (slightly exceeds) the old direct-fallback ceiling
 # (b*n_pad*4 <= 2<<30) so no previously-working take-all size regresses.
 # Beyond this, take(k) with a smaller k is required.
-TAKE_ALL_LIMIT = 1 << 29
+# take-all staging admit ceiling: the host merge holds ~17 bytes per
+# retained candidate, so the default (2^29 ~ 9 GB) suits a 32-64 GB host.
+# Larger hosts can raise it (the reference's take-all has no cliff below
+# host RAM; this makes ours configurable to the same effect).
+TAKE_ALL_LIMIT = int(__import__("os").environ.get(
+    "OTTERS_TAKE_ALL_LIMIT", 1 << 29
+))
 
 
 def needs_windowed(n_pad: int, b: int, k_eff: int) -> bool:
