@@ -462,20 +462,15 @@ def load_meta_dir(path: str, mesh=None) -> MetaStore:
 
     slab_rows = min(max(chunk, 1 << 16), 1 << 20)
     if mesh is not None:
-        # chunk sizes that don't align with the scan tile (possible on
-        # shard()-created stores) cannot go through direct sharded ingest;
-        # rebuild single-device and re-shard, like build_sharded_or_shard
-        import math
-
-        from .ops import scoring as _sc
-        from .parallel.meta_sharded import ShardedMetaStore
-
-        lcm = _sc.SCAN_TILE * chunk // math.gcd(_sc.SCAN_TILE, chunk)
-        if lcm > 4 * _sc.SCAN_TILE:
-            return ShardedMetaStore.shard(load_meta_dir(path, mesh=None), mesh)
-    if mesh is not None:
         from .parallel import meta_sharded as msh
 
+        if not msh.scan_tile_aligned(chunk):
+            # unaligned chunk sizes (possible on shard()-created stores)
+            # cannot go through direct sharded ingest; rebuild
+            # single-device and re-shard, like build_sharded_or_shard
+            return msh.ShardedMetaStore.shard(
+                load_meta_dir(path, mesh=None), mesh
+            )
         if storage == "int8":
             dv = msh.materialize_int8_slabs_sharded(
                 slab_fn, n, d, slab_rows, mesh, chunk_size=chunk

@@ -326,14 +326,7 @@ class ShardedMetaStore(MetaStore):
             return np.asarray(arr)
         # multi-process mesh: replicate-gather (COLLECTIVE — all processes
         # must reach this point together; delete/append/save are collective)
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return np.asarray(
-            jax.jit(
-                lambda x: x, out_shardings=NamedSharding(self.mesh, P())
-            )(arr)
-        )
+        return np.asarray(_replicate_gather_fn(self.mesh)(arr))
 
     def _place_resid(self, resid_host):
         resid = _put_padded(self.mesh, resid_host, resid_host.shape[0], 0.0)
@@ -349,12 +342,7 @@ class ShardedMetaStore(MetaStore):
         and append capacity scales with the mesh. Sorted/z-ordered stores
         (a rebuild re-sorts globally) and chunk sizes that don't align
         with the scan tile fall back to the host-staged path."""
-        import math
-
-        lcm = scoring.SCAN_TILE * self._chunk_size // math.gcd(
-            scoring.SCAN_TILE, self._chunk_size
-        )
-        if self._index_map is None and lcm <= 4 * scoring.SCAN_TILE:
+        if self._index_map is None and scan_tile_aligned(self._chunk_size):
             # streaming rebuild: surviving rows flow device-shard ->
             # host-slab -> new per-shard HBM, one slab at a time — append
             # capacity scales with the mesh like build/query/save do.
@@ -400,11 +388,17 @@ class ShardedMetaStore(MetaStore):
             old_host = None
             old_dev = self._dv.vectors
             # replicated-output gather: one slab of surviving rows lands on
-            # the host per call, never the whole store
-            gather = jax.jit(
-                lambda v, i: v[i].astype(jnp.float32),
-                out_shardings=NamedSharding(mesh, P()),
-            )
+            # the host per call, never the whole store (cached jit — a
+            # fresh lambda would recompile on every append)
+            ck = (id(mesh), "append_slab_gather")
+            gather = _sharded_jit_cache.get(ck)
+            if gather is None:
+                gather = jax.jit(
+                    lambda v, i: v[i].astype(jnp.float32),
+                    out_shardings=NamedSharding(mesh, P()),
+                )
+                if len(_sharded_jit_cache) < 256:
+                    _sharded_jit_cache[ck] = gather
 
         def slab_fn(start, rows):
             end = min(start + rows, n_total)
@@ -1040,6 +1034,17 @@ def sharded_geometry(n_rows: int, chunk: int, n_shards: int):
     return n_pad_s, n_pad_s // chunk, n_chunks
 
 
+def scan_tile_aligned(chunk: int) -> bool:
+    """True when direct sharded ingest supports this chunk size: its lcm
+    with the scan tile keeps the per-shard padding unit small (see
+    ``sharded_geometry``). Unaligned sizes (possible on shard()-created
+    stores) must stage single-device first."""
+    import math
+
+    lcm = scoring.SCAN_TILE * chunk // math.gcd(scoring.SCAN_TILE, chunk)
+    return lcm <= 4 * scoring.SCAN_TILE
+
+
 def build_sharded_or_shard(builder, mesh) -> "ShardedMetaStore":
     """``build_sharded`` when the chunk size aligns with the scan tile,
     else single-device build + ``shard()`` (which supports unaligned
@@ -1047,11 +1052,7 @@ def build_sharded_or_shard(builder, mesh) -> "ShardedMetaStore":
     first — so the fallback only works for stores that fit one chip).
     Used by sharded ``append`` and ``load(mesh=...)`` so stores built with
     any valid single-device chunk size stay mutable/reloadable on a mesh."""
-    import math
-
-    chunk = builder._chunk_size
-    lcm = scoring.SCAN_TILE * chunk // math.gcd(scoring.SCAN_TILE, chunk)
-    if lcm <= 4 * scoring.SCAN_TILE:
+    if scan_tile_aligned(builder._chunk_size):
         return build_sharded(builder, mesh)
     return ShardedMetaStore.shard(builder.build(), mesh)
 
@@ -1060,6 +1061,22 @@ def _row_sharding(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     return NamedSharding(mesh, P("rows"))
+
+
+def _replicate_gather_fn(mesh):
+    """Cached jitted identity with replicated out-sharding: a fresh
+    ``jax.jit(lambda ...)`` per call would recompile on every
+    delete/append/save (jit caches by function object)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ck = (id(mesh), "replicate_gather")
+    fn = _sharded_jit_cache.get(ck)
+    if fn is None:
+        fn = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+        if len(_sharded_jit_cache) < 256:
+            _sharded_jit_cache[ck] = fn
+    return fn
 
 
 def _put_padded(mesh, arr: np.ndarray, n_target: int, fill):
