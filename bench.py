@@ -31,19 +31,23 @@ import time
 import numpy as np
 
 # ---- configuration ---------------------------------------------------------
-N10 = 10_000_000
-N4 = 4_000_000
-N1 = 1_000_000
-D = 768
-B = 256  # queries per batch
+# Sizes are env-tunable ONLY so the full bench FLOW can be smoke-tested on
+# CPU at tiny scale (OTTERS_BENCH_SCALE_DIV=N divides the row counts);
+# reported BENCH numbers always come from the defaults on real hardware.
+_DIV = max(1, int(os.environ.get("OTTERS_BENCH_SCALE_DIV", "1")))
+N10 = 10_000_000 // _DIV
+N4 = 4_000_000 // _DIV
+N1 = 1_000_000 // _DIV
+D = 768 if _DIV == 1 else 64
+B = 256 if _DIV == 1 else 16
 K = 10
 K_WIDE = 100  # int8 candidate widening before exact f32 re-rank
 CHUNK = 1024
-SLAB = 1_000_000
-TIMED_BATCHES = 16
-CPU_SUB_N = 200_000
+SLAB = 1_000_000 // _DIV
+TIMED_BATCHES = 16 if _DIV == 1 else 4
+CPU_SUB_N = 200_000 // _DIV
 CPU_SUB_B = 32
-GT_QUERIES = 64  # ground-truth recall sample
+GT_QUERIES = 64 if _DIV == 1 else 8  # ground-truth recall sample
 
 
 def log(msg: str) -> None:
