@@ -2131,6 +2131,12 @@ class MetaQueryPlan:
         )
 
 
+# ops.pallas_topk.PALLAS_K_MAX, duplicated to keep the (TPU-importing)
+# kernel module out of meta's import graph; equality is pinned by
+# tests/test_cert_exact.py
+_PALLAS_K_MAX = 1024
+
+
 def _cert_kwide_cap() -> int:
     """Widest scan the int8 certificate auto-widen loop will try.
 
@@ -2378,7 +2384,15 @@ class PendingMetaQuery:
                     if collision_redo:
                         cap = 0  # exact-mask result; scan bound is stale
                     while not certified and k_used < cap:
-                        k_used = min(max(k_used * 4, k_used + 1), cap)
+                        nxt = min(max(k_used * 4, k_used + 1), cap)
+                        if k_used < _PALLAS_K_MAX < nxt:
+                            # try the fused-kernel boundary before leaving
+                            # it: a hint that lands at 1024 keeps every
+                            # steady-state scan on the pallas path, where
+                            # 1600 would de-fuse ALL later scans of this
+                            # plan shape for a marginal certificate
+                            nxt = _PALLAS_K_MAX
+                        k_used = nxt
                         raw2 = self._rerun_widened(k_run=k_used)
                         rows, scrs, valid, _, bound, ev, re_ = jax.device_get(
                             raw2

@@ -44,6 +44,10 @@ from .scoring import (
 
 BIN = 512
 assert BIN == CERT_BIN  # resid_bin granularity must match the kernel's bins
+# widest top-k the fused kernel accepts (phase-2 slot budget); the
+# certificate's widen loop clamps its sequence to this boundary so a
+# marginal widening never de-fuses later scans (meta.py widen loop)
+PALLAS_K_MAX = 1024
 LANE = 128
 SUBLANE = 8
 # Phase-2 strategy switch: up to this many candidate bins, a lax.scan of
@@ -706,7 +710,7 @@ def pallas_ok(n_pad: int, d: int, b: int, k: int) -> bool:
             return False
     except Exception:
         return False
-    if k > 1024 or n_pad % BIN != 0:
+    if k > PALLAS_K_MAX or n_pad % BIN != 0:
         return False
     b_pad = _pad_b(b)
     t = choose_tile(d, n_pad, b_pad)

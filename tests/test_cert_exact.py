@@ -460,3 +460,28 @@ def test_certify_true_requires_rerank_and_rejects_windowed():
                 .take(2_048, rerank_from=2_048, certify=True)
                 .collect()
             )
+
+
+def test_widen_sequence_clamps_at_pallas_boundary():
+    """The widen loop must try the fused-kernel k limit before exceeding it
+    (a hint landing past it would de-fuse every later scan of the plan
+    shape), and the duplicated constant must match the kernel's."""
+    from otters_tpu import meta as meta_mod
+    from otters_tpu.ops import pallas_topk as pk
+
+    assert meta_mod._PALLAS_K_MAX == pk.PALLAS_K_MAX
+
+    # simulate the sequence arithmetic the loop runs
+    def seq(start, cap):
+        out, k = [], start
+        while k < cap and len(out) < 10:
+            nxt = min(max(k * 4, k + 1), cap)
+            if k < meta_mod._PALLAS_K_MAX < nxt:
+                nxt = meta_mod._PALLAS_K_MAX
+            out.append(nxt)
+            k = nxt
+        return out
+
+    assert seq(400, 4096) == [1024, 4096]  # NOT 1600
+    assert seq(100, 4096) == [400, 1024, 4096]
+    assert seq(16, 64) == [64]  # caps below the boundary are untouched
