@@ -485,3 +485,58 @@ def test_widen_sequence_clamps_at_pallas_boundary():
     assert seq(400, 4096) == [1024, 4096]  # NOT 1600
     assert seq(100, 4096) == [400, 1024, 4096]
     assert seq(16, 64) == [64]  # caps below the boundary are untouched
+
+
+@pytest.mark.parametrize(
+    "trial", range(int(os.environ.get("OTTERS_CERT_PALLAS_TRIALS", "6")))
+)
+def test_pallas_cert_bound_soundness_fuzz(trial):
+    """Interpret-mode fuzz of the KERNEL's certificate bound: for random
+    shapes/batches/ties/k, every row not in the returned candidate set must
+    have true cosine <= bound (the property the whole certificate rests
+    on)."""
+    from otters_tpu.ops import pallas_topk as pk
+    from otters_tpu.ops import scoring
+
+    rng = np.random.default_rng(500 + trial)
+    d = int(rng.choice([32, 64, 128]))
+    n = int(rng.choice([1024, 2048]))
+    b = int(rng.choice([1, 2, 5]))
+    k = int(rng.choice([4, 16, 64]))
+    vecs = rng.normal(size=(n, d))
+    n_tie = int(rng.choice([0, 64]))
+    if n_tie:
+        u = rng.normal(size=d)
+        u /= np.linalg.norm(u)
+        w = rng.normal(size=(n_tie, d))
+        w -= (w @ u)[:, None] * u[None, :]
+        w /= np.linalg.norm(w, axis=1, keepdims=True)
+        vecs[:n_tie] = u[None, :] + (
+            0.05 + 0.3 * rng.permutation(n_tie) / n_tie
+        )[:, None] * w
+    vecs = vecs.astype(np.float32)
+    qs = rng.normal(size=(b, d)).astype(np.float32)
+    if n_tie:
+        qs[0] = u + 0.01 * rng.normal(size=d)
+    dv = scoring.materialize(vecs, dtype=jnp.int8)
+    n_pad = dv.vectors.shape[0]
+    t = pk.choose_tile(d, n_pad, pk._pad_b(b))
+    if n_pad % t:
+        return
+    alive = jnp.ones(n_pad // t, dtype=bool)
+    rows, scores, ok, check, bound = pk.pallas_topk(
+        dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+        jnp.asarray(qs), None, jnp.float32(0.0), alive,
+        metric=Metric.Cosine, k=k, take_min=False, cmp=None,
+        prec="default", interpret=True, certify=True,
+        resid=dv.resid, resid_bin=dv.resid_bin,
+    )
+    returned = np.asarray(rows)[np.asarray(ok, dtype=bool)] % n
+    unret = np.ones(n, dtype=bool)
+    unret[returned] = False
+    if not unret.any():
+        return
+    s_true = _cosine_oracle(qs, vecs)
+    assert float(bound) >= float(s_true[:, unret].max()) - 1e-7, (
+        trial, float(bound), float(s_true[:, unret].max())
+    )
