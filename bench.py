@@ -336,15 +336,24 @@ def run_10m(store):
     bi = [0]
 
     def dispatch(which):
+        # "filtered_uncert" = the headline filter with the round-4 int8
+        # exactness certificate DISABLED (round-3 measured behavior) so a
+        # certificate-induced qps delta reads as what it is, not a
+        # regression; every other config runs certify auto (the default
+        # user experience: recall 1.0 by construction)
+        certify = False if which == "filtered_uncert" else None
+        fkey = "filtered" if which == "filtered_uncert" else which
         q = batches[bi[0] % TIMED_BATCHES]
         bi[0] += 1
         plan = store.query_batch(q, Metric.Cosine)
-        if filters[which] is not None:
-            plan = plan.meta_filter(filters[which])
+        if filters[fkey] is not None:
+            plan = plan.meta_filter(filters[fkey])
         # PUBLIC rerank API (round-2 verdict item 3): the scan widens to
         # K_WIDE int8 candidates, result() exact-f32-reranks to top-K —
         # the measured qps is the true end-to-end exact-top-10 rate
-        return plan.take(K, rerank_from=K_WIDE).collect_async()
+        return plan.take(
+            K, rerank_from=K_WIDE, certify=certify
+        ).collect_async()
 
     # warm-up / compile (AOT cache makes reruns near-instant)
     t0 = time.perf_counter()
@@ -441,6 +450,16 @@ def run_10m(store):
         import traceback as _tb
 
         log("string_eq section failed (non-fatal):\n" + _tb.format_exc())
+    qps_uncert = None
+    try:
+        qps_uncert = timed_qps("filtered_uncert")
+        log(f"10M filtered UNcertified (round-3 continuity): "
+            f"{qps_uncert:.1f} q/s")
+    except Exception:
+        import traceback as _tb
+
+        log("filtered_uncert section failed (non-fatal):\n"
+            + _tb.format_exc())
 
     # wide-batch scaling: B=512 amortizes phase-2/top-k overhead across
     # twice the queries. Reported in extras; the headline stays the
@@ -519,6 +538,7 @@ def run_10m(store):
         "qps_unf": qps_unf, "qps_str": qps_str, "rec_unf": rec_unf,
         "qps_scan": qps_scan, "certified": certified,
         "cert_kwide": cert_kwide, "dispersion": disp,
+        "qps_uncert": qps_uncert,
     }
 
 
@@ -756,6 +776,11 @@ def main() -> dict:
             ),
             "qps_10M_scan_only_k100": (
                 None if qps_scan is None else round(qps_scan, 1)
+            ),
+            "qps_10M_filtered_uncertified": (
+                None
+                if r10.get("qps_uncert") is None
+                else round(r10["qps_uncert"], 1)
             ),
             "build_10m_with_strings_s": round(build_s, 1),
             "data_synthesis_10m_s": round(synth_s, 1),
