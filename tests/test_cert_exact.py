@@ -540,3 +540,28 @@ def test_pallas_cert_bound_soundness_fuzz(trial):
     assert float(bound) >= float(s_true[:, unret].max()) - 1e-7, (
         trial, float(bound), float(s_true[:, unret].max())
     )
+
+
+def test_mixed_certified_uncertified_resolve_group():
+    """resolve() groups pendings by plan signature but NOT by certify; a
+    mixed group must give each pending its own certificate outcome and the
+    certified one exact results."""
+    from otters_tpu.meta import resolve
+
+    vecs, q, order = _near_tie_vectors(n_tie=128, seed=53)
+    store = _int8_store(vecs)
+    p1 = store.query(q[0], Metric.Cosine).take(10, rerank_from=20).collect_async()
+    p2 = (
+        store.query(q[0], Metric.Cosine)
+        .take(10, rerank_from=20, certify=False)
+        .collect_async()
+    )
+    p3 = (
+        store.query(vecs[5000], Metric.Cosine)
+        .take(10, rerank_from=20)
+        .collect_async()
+    )
+    r1, r2, r3 = resolve([p1, p2, p3])
+    assert p1._certified is True and p2._certified is None
+    assert p3._certified is True
+    assert r1.indices == order[:10].tolist()
