@@ -130,33 +130,33 @@ def p2_tile_sweep(dv, n):
     print("P2: tile sweep at b=256, k'=100")
     n_pad = dv.vectors.shape[0]
     qk = jax.random.normal(jax.random.PRNGKey(4), (B, D), jnp.float32)
-    for t in (512, 1024, 2048, 4096):
-        if n_pad % t:
+    b_pad = pk._pad_b(B)
+    print(f"  choose_tile picks {pk.choose_tile(D, n_pad, b_pad)}")
+    # the kernel derives the tile from tile_alive's length (n_pad // len);
+    # sweep by handing it alive arrays of different lengths
+    for t in (512, 1024, 1536, 2048, 3072, 4096):
+        if n_pad % t or t % pk.BIN:
             continue
-        alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
-        b_pad = pk._pad_b(B)
         vmem = b_pad * D * 4 + 2 * t * D * 4 + 3 * t * b_pad * 4
         if vmem > 13 * (1 << 20):
             print(f"  tile {t}: skipped (VMEM {vmem >> 20} MiB)")
             continue
+        alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
 
-        def step(c, t=t, alive=alive):
+        def step(c, alive=alive):
             rows, scores, ok, check, bound = pk.pallas_topk(
                 dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
                 qk + c * 0, None, jnp.float32(0.0), alive,
                 metric=Metric.Cosine, k=100, take_min=False, cmp=None,
-                prec="default", tile_rows=t,
-            ) if "tile_rows" in pk.pallas_topk.__code__.co_varnames else (
-                None, jnp.zeros(100), None, None, None
+                prec="default",
             )
             return c + scores[0]
 
         try:
             dt = timed_loop(step, jnp.float32(0.0), iters=4, label=f"tile={t}")
             print(f"    -> {B / dt:.0f} q/s")
-        except Exception as e:  # tile knob may not exist; choose_tile rules
-            print(f"  tile {t}: n/a ({type(e).__name__})")
-            break
+        except Exception as e:
+            print(f"  tile {t}: failed ({type(e).__name__}: {e})")
 
 
 def p3_cert_end_to_end():
