@@ -7,9 +7,22 @@ runs a filtered cosine top-5 query and prints build/query stats.
 Usage: python examples/demo.py [n_size] [dim]
 """
 
+import os
 import sys
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform request even when a remote-TPU
+    # sitecustomize hook has pinned jax_platforms in the CONFIG (the
+    # config outranks the env var, so e.g. JAX_PLATFORMS=cpu would
+    # otherwise still initialize — and possibly hang on — the tunnel)
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 from otters_tpu import Cmp, Column, DataType, Metric, MetaStore, col
 

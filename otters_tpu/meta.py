@@ -1603,6 +1603,20 @@ class MetaStore:
             and cmp in (None, Cmp.Gt, Cmp.Gte)
         )
 
+    def _direct_k_ok(self, k: int, b: int) -> bool:
+        """Can ``_run_query_program`` run take(k) for a ``b``-query batch?
+
+        False means this k belongs to the windowed take-all regime, which
+        streams score windows to the host and returns no certificate bound
+        (and whose device sort a direct dispatch must never attempt). The
+        certificate widen loop checks this before every re-scan — execute()
+        routed the ORIGINAL k, but widening happens after the fact."""
+        n_pad = self._dv.vectors.shape[0]
+        k_eff = min(k, b * n_pad)
+        return not (
+            self._supports_windowed and scoring.needs_windowed(n_pad, b, k_eff)
+        )
+
     def _run_exact_mask_query(
         self, queries, exact_mask, metric, k, take_min, cmp, thr
     ):
@@ -2039,10 +2053,26 @@ class MetaQueryPlan:
                     None if thr is None else cmp,
                 )
                 if self._certify is True and not supported:
+                    import jax.numpy as jnp
+
+                    if (
+                        store._dv.vectors.dtype == jnp.int8
+                        and store._dv.resid is None
+                    ):
+                        # the one precondition invisible from the plan: the
+                        # store was built from pre-quantized int8 codes, so
+                        # no per-row quantization-residual bounds exist
+                        raise OttersError(
+                            "take(certify=True): this int8 store has no "
+                            "quantization-residual bounds (it was built "
+                            "from pre-quantized codes); certification "
+                            "requires quantize-from-f32 ingest"
+                        )
                     raise OttersError(
                         "take(certify=True): the int8 exactness certificate "
-                        "requires int8 storage, the Cosine metric, and no "
-                        "vec_filter (or a Gt/Gte one)"
+                        "requires int8 storage quantized from f32 at ingest, "
+                        "the Cosine metric, and no vec_filter (or a Gt/Gte "
+                        "one)"
                     )
                 certify = supported
                 if certify:
@@ -2392,6 +2422,22 @@ class PendingMetaQuery:
                             # 1600 would de-fuse ALL later scans of this
                             # plan shape for a marginal certificate
                             nxt = _PALLAS_K_MAX
+                        if not store._direct_k_ok(nxt, b):
+                            # the direct top-k program can't run this wide
+                            # (windowed take-all regime / SPMD merge limit:
+                            # no bound comes back from either). Stop at the
+                            # widest still-eligible width, if one remains
+                            # above k_used — eligibility is monotone in k
+                            lo, hi = k_used, nxt
+                            while lo < hi:  # largest ok width by bisection
+                                mid = (lo + hi + 1) // 2
+                                if store._direct_k_ok(mid, b):
+                                    lo = mid
+                                else:
+                                    hi = mid - 1
+                            if lo <= k_used:
+                                break  # already at the widest eligible scan
+                            nxt = cap = lo  # final attempt, then exit
                         k_used = nxt
                         raw2 = self._rerun_widened(k_run=k_used)
                         rows, scrs, valid, _, bound, ev, re_ = jax.device_get(
@@ -2468,6 +2514,17 @@ class PendingMetaQuery:
                             "widen rerank_from.",
                             stacklevel=2,
                         )
+            elif self._rerun_widened is not None:
+                # certificate requested but the scan returned ZERO
+                # candidates: provably complete. Filtered plans loosen the
+                # quantized threshold by the sound slack, so a row excluded
+                # there fails the exact filter too — no candidates means NO
+                # row truly passes, and the empty result is exact. (After a
+                # collision redo the results come from the exact-mask query
+                # — also exact — but the scan bound no longer speaks for
+                # them, so stay consistent with the widen loop and decline.)
+                self._certified = not collision_redo
+                self._scan_k_wide = self._k
         score_dur = time.perf_counter() - self._score_start
 
         # ---- merge phase: result-column materialization (host) ----

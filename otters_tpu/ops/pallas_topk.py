@@ -300,6 +300,9 @@ def _pallas_topk_jit(
         assert int8_mode and metric is Metric.Cosine and not take_min
         assert cmp in (None, Cmp.Gt, Cmp.Gte)
         assert resid is not None and resid_bin is not None
+        # fast (bf16_3x) and certify (int8) are disjoint modes: the branches
+        # below are mutually exclusive and fast never binds cert_eps
+        assert not fast
     if int8_mode:
         # quantized-cosine storage: quantize the queries symmetrically; both
         # phases run native int8 x int8 -> int32 MXU dots (exact at any d)

@@ -12,6 +12,8 @@ bit-identical to the per-row Python semantics (``pattern in s`` /
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 
 MODES = ("contains", "starts_with", "ends_with")
@@ -35,20 +37,28 @@ def substr_mask(
     return _substr_mask_numpy(data, offsets, pattern, mode)
 
 
-_BYTES_CACHE: dict = {}  # id(arena) -> (arena ref, bytes copy)
+_BYTES_CACHE: "OrderedDict[int, tuple]" = (
+    OrderedDict()
+)  # id(arena) -> (arena ref, bytes copy), LRU order
+_BYTES_CACHE_CAP = 4  # each entry pins a full arena copy — keep few
 
 
 def _arena_bytes(data: np.ndarray) -> bytes:
     """bytes view of the arena, cached per arena object: the fallback's
     C-speed ``bytes.find`` needs a bytes object, but re-copying a
-    multi-hundred-MB arena per distinct literal would dwarf the search."""
-    ent = _BYTES_CACHE.get(id(data))
+    multi-hundred-MB arena per distinct literal would dwarf the search.
+    LRU with single-entry eviction: evicting everything on overflow would
+    drop the hot arena too, and a large cap would pin one arena copy (plus
+    its strong arena ref) per rebuilt store for the process lifetime."""
+    key = id(data)
+    ent = _BYTES_CACHE.get(key)
     if ent is not None and ent[0] is data:
+        _BYTES_CACHE.move_to_end(key)
         return ent[1]
     buf = data.tobytes()
-    if len(_BYTES_CACHE) >= 16:
-        _BYTES_CACHE.clear()
-    _BYTES_CACHE[id(data)] = (data, buf)
+    while len(_BYTES_CACHE) >= _BYTES_CACHE_CAP:
+        _BYTES_CACHE.popitem(last=False)  # least-recently-used only
+    _BYTES_CACHE[key] = (data, buf)
     return buf
 
 

@@ -614,6 +614,13 @@ class ShardedMetaStore(MetaStore):
         aot.wait_jit_ready()
         return count
 
+    def _direct_k_ok(self, k: int, b: int) -> bool:
+        # mirror of _run_query_program's safety net: the SPMD top-k merge
+        # all-gathers O(k) results onto every device, so k past SCAN_K_MAX
+        # must route through the per-shard windowed take-all instead
+        k_eff = min(k, b * self._dv.vectors.shape[0])
+        return k_eff <= scoring.SCAN_K_MAX and super()._direct_k_ok(k, b)
+
     # MetaQueryPlan calls this hook; run the SPMD program instead.
     def _run_query_program(
         self, cols_sub, queries, plan_params, thr, plan_static, metric, k,

@@ -412,3 +412,159 @@ def test_store_caches_are_lru_with_stats():
         col("tag").contains("t50")
     ).take(3).collect()
     assert store.cache_stats()["hostmask"]["hits"] > h0
+
+
+# ---- round-4 second review pass ---------------------------------------------
+
+
+def _int8_rerank_store(n=2000, d=16, seed=91, chunk=256):
+    rng = np.random.default_rng(seed)
+    host = rng.normal(size=(n, d)).astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(host)
+        .with_storage_dtype("int8")
+        .with_chunk_size(chunk)
+        .with_rerank_source(fetch_vectors=lambda ids: host[np.asarray(ids)])
+        .build()
+    )
+    return store, host
+
+
+def test_certify_empty_result_is_certified():
+    """A zero-candidate scan is provably complete: certify=True on a filter
+    nothing passes must report certified=True, not None."""
+    store, host = _int8_rerank_store()
+    q = host[0] / np.linalg.norm(host[0])
+    r = (
+        store.query(q, Metric.Cosine)
+        .vec_filter(1.5, Cmp.Gt)  # cosine <= 1: provably empty
+        .take(5, rerank_from=20, certify=True)
+        .collect()
+    )
+    assert len(r) == 0
+    st = store.last_query_stats()
+    assert st.certified is True
+    assert st.scan_k_wide is not None
+
+
+def test_certify_widen_respects_direct_program_limit(monkeypatch):
+    """The widen loop must stop at the widest direct-program-eligible scan
+    instead of dispatching a width that belongs to the windowed take-all
+    regime (which returns no bound; on sharded stores it raises)."""
+    import otters_tpu.meta as meta_mod
+    import otters_tpu.ops.scoring as scoring_mod
+
+    store, host = _int8_rerank_store()
+    monkeypatch.setenv("OTTERS_CERT_KWIDE_MAX", "100000")
+    # force every certificate check to fail so the loop widens to the cap
+    monkeypatch.setattr(meta_mod, "_cert_ok", lambda *a, **k: False)
+    # pretend any scan wider than 64 requires the windowed path
+    monkeypatch.setattr(
+        scoring_mod,
+        "needs_windowed",
+        lambda n_pad, b, k_eff: k_eff > 64,
+    )
+    seen_k = []
+    orig = store._run_query_program
+
+    def spy(cols_sub, queries, plan_params, thr, plan_static, metric, k,
+            take_min, cmp, **kw):
+        seen_k.append(k)
+        return orig(cols_sub, queries, plan_params, thr, plan_static,
+                    metric, k, take_min, cmp, **kw)
+
+    store._run_query_program = spy
+    q = host[1] / np.linalg.norm(host[1])
+    with pytest.warns(UserWarning, match="not certified"):
+        r = store.query(q, Metric.Cosine).take(
+            3, rerank_from=8, certify=True
+        ).collect()
+    assert len(r) == 3
+    assert max(seen_k) == 64, seen_k  # clamped at the eligible boundary
+    assert store.last_query_stats().certified is False
+
+
+def test_sharded_direct_k_ok_mirrors_spmd_guard():
+    """ShardedMetaStore._direct_k_ok must reject k past SCAN_K_MAX (the SPMD
+    program's safety net) so the certificate widen loop never trips it."""
+    rng = np.random.default_rng(92)
+    host = rng.normal(size=(1000, 8)).astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(host)
+        .with_storage_dtype("int8")
+        .build()
+    )
+    mesh = make_mesh(rows=4, batch=2)
+    sharded = ShardedMetaStore.shard(store, mesh)
+    assert sharded._direct_k_ok(100, 1)
+    # the guard compares k_eff = min(k, b * n_pad): a large k on a small
+    # store stays eligible; it must trip once the EFFECTIVE k passes the
+    # SPMD merge limit (batch wide enough that b * n_pad no longer caps it)
+    assert sharded._direct_k_ok(scoring.SCAN_K_MAX + 1, 1)
+    assert not sharded._direct_k_ok(scoring.SCAN_K_MAX + 1, 2048)
+
+
+def test_pallas_certify_excludes_fast_mode():
+    """fast (bf16_3x) and certify (int8) are disjoint kernel modes; the
+    combination must fail the precondition asserts, not NameError later."""
+    rng = np.random.default_rng(93)
+    dv8 = scoring.materialize(
+        rng.normal(size=(2048, 64)).astype(np.float32), dtype=jnp.int8
+    )
+    n_pad = dv8.vectors.shape[0]
+    t = pk.choose_tile(64, n_pad, pk._pad_b(1))
+    with pytest.raises(AssertionError):
+        pk.pallas_topk(
+            dv8.vectors, dv8.norms_sq, dv8.inv_norms, dv8.valid,
+            jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32)),
+            None, jnp.float32(0.0), jnp.ones(n_pad // t, dtype=bool),
+            metric=Metric.Cosine, k=4, take_min=False, cmp=None,
+            interpret=True, fast=True, certify=True,
+            resid=dv8.resid, resid_bin=dv8.resid_bin,
+        )
+
+
+def test_certify_error_names_missing_residuals():
+    """certify=True on a store built from pre-quantized int8 codes (no
+    residual bounds) must say WHY it is unsupported."""
+    from otters_tpu import OttersError
+
+    rng = np.random.default_rng(95)
+    codes = np.clip(
+        np.rint(rng.normal(size=(256, 8)) * 40), -127, 127
+    ).astype(np.int8)
+    dv = scoring.materialize_from_device(jnp.asarray(codes))
+    assert dv.resid is None
+    host = codes.astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(dv, n_rows=256)
+        .with_rerank_source(fetch_vectors=lambda ids: host[np.asarray(ids)])
+        .build()
+    )
+    with pytest.raises(OttersError, match="residual"):
+        store.query(host[0], Metric.Cosine).take(
+            3, rerank_from=8, certify=True
+        ).collect()
+
+
+def test_strscan_bytes_cache_lru_single_eviction():
+    """The arena-bytes cache must evict one LRU entry, not clear wholesale,
+    and a hot arena must survive an overflow."""
+    from otters_tpu.ops import strscan
+
+    strscan._BYTES_CACHE.clear()
+    arenas = [
+        np.frombuffer(f"row{i}data".encode(), dtype=np.uint8).copy()
+        for i in range(strscan._BYTES_CACHE_CAP + 2)
+    ]
+    hot = arenas[0]
+    assert strscan._arena_bytes(hot) == hot.tobytes()
+    for a in arenas[1:]:
+        strscan._arena_bytes(hot)  # keep refreshing the hot entry
+        strscan._arena_bytes(a)
+    assert len(strscan._BYTES_CACHE) <= strscan._BYTES_CACHE_CAP
+    assert id(hot) in strscan._BYTES_CACHE  # survived every eviction
+    strscan._BYTES_CACHE.clear()
