@@ -57,6 +57,12 @@ def log(msg: str) -> None:
 def _configure_jax():
     import jax
 
+    from otters_tpu.utils import honor_jax_platforms_env
+
+    # a CPU smoke run (JAX_PLATFORMS=cpu) must not initialize — and
+    # possibly hang on — the tunnel; the env must win over sitecustomize
+    honor_jax_platforms_env()
+
     cache_dir = "/tmp/jax_comp_cache"
     if os.environ.get("OTTERS_BENCH_COLD"):
         # cold probe: a virgin compilation cache too
@@ -815,6 +821,40 @@ def _supervise() -> None:
     import subprocess
 
     timeout_s = int(os.environ.get("OTTERS_BENCH_TIMEOUT_S", "5400"))
+
+    # fast backend pre-probe: a dead tunnel hangs jax.devices() with zero
+    # CPU, and paying 2 x timeout_s to discover that wastes hours of the
+    # benchmarking budget. Probe in a throwaway child first (honoring an
+    # explicit JAX_PLATFORMS the same way _configure_jax does).
+    probe_s = int(os.environ.get("OTTERS_BENCH_PROBE_TIMEOUT_S", "240"))
+    probe_src = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "p and jax.config.update('jax_platforms', p)\n"
+        "print(len(jax.devices()))\n"
+    )
+    for probe_try in (1, 2):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=probe_s, stdout=subprocess.DEVNULL, check=True,
+            )
+            break
+        except Exception as e:
+            log(f"backend probe {probe_try} failed ({type(e).__name__})")
+            if probe_try == 2:
+                print(json.dumps({
+                    "metric": "filtered_cosine_rerank_top10_qps_10Mx768",
+                    "value": 0.0,
+                    "unit": "qps",
+                    "vs_baseline": 0.0,
+                    "extras": {
+                        "error": "backend unreachable: jax.devices() hung "
+                        f"or failed twice within {probe_s}s (dead tunnel?)"
+                    },
+                }))
+                return
+
     last_lines: list = []
     for attempt in (1, 2):
         env = dict(os.environ, OTTERS_BENCH_CHILD="1")

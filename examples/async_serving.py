@@ -12,8 +12,12 @@ import time
 
 import numpy as np
 
-from otters_tpu import Column, DataType, Metric, MetaStore, col
-from otters_tpu.meta import resolve
+from otters_tpu.utils import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over sitecustomize
+
+from otters_tpu import Column, DataType, Metric, MetaStore, col  # noqa: E402
+from otters_tpu.meta import resolve  # noqa: E402
 
 
 def main() -> None:

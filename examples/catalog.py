@@ -13,8 +13,12 @@ import sys
 
 import numpy as np
 
-from otters_tpu import MetaStore, Metric, col
-from otters_tpu.datasets import synthetic_catalog
+from otters_tpu.utils import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over sitecustomize
+
+from otters_tpu import MetaStore, Metric, col  # noqa: E402
+from otters_tpu.datasets import synthetic_catalog  # noqa: E402
 
 
 def main() -> None:

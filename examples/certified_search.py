@@ -16,7 +16,11 @@ import sys
 
 import numpy as np
 
-from otters_tpu import Column, DataType, Metric, MetaStore
+from otters_tpu.utils import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over sitecustomize
+
+from otters_tpu import Column, DataType, Metric, MetaStore  # noqa: E402
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
 d = int(sys.argv[2]) if len(sys.argv) > 2 else 128

@@ -7,24 +7,15 @@ runs a filtered cosine top-5 query and prints build/query stats.
 Usage: python examples/demo.py [n_size] [dim]
 """
 
-import os
 import sys
 
 import numpy as np
 
-if os.environ.get("JAX_PLATFORMS"):
-    # honor an explicit platform request even when a remote-TPU
-    # sitecustomize hook has pinned jax_platforms in the CONFIG (the
-    # config outranks the env var, so e.g. JAX_PLATFORMS=cpu would
-    # otherwise still initialize — and possibly hang on — the tunnel)
-    import jax
+from otters_tpu.utils import honor_jax_platforms_env
 
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over sitecustomize
 
-from otters_tpu import Cmp, Column, DataType, Metric, MetaStore, col
+from otters_tpu import Cmp, Column, DataType, Metric, MetaStore, col  # noqa: E402
 
 
 def main() -> None:

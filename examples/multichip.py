@@ -13,8 +13,12 @@ import sys
 import jax
 import numpy as np
 
-from otters_tpu import Column, DataType, Metric, MetaStore, col
-from otters_tpu.parallel import ShardedMetaStore, make_mesh
+from otters_tpu.utils import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must win over sitecustomize
+
+from otters_tpu import Column, DataType, Metric, MetaStore, col  # noqa: E402
+from otters_tpu.parallel import ShardedMetaStore, make_mesh  # noqa: E402
 
 
 def main() -> None:
