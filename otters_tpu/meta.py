@@ -572,16 +572,19 @@ def _jit_rerank_program():
 _rerank_program = _jit_rerank_program()
 
 
-def _device_rerank_group(store: "MetaStore", plist) -> bool:
-    """Run ONE device rerank for a group of compatible pendings (same
-    store/batch shape/metric/filter/k). Returns False -> host fallback."""
-    import jax
+def _device_rerank_dispatch(store: "MetaStore", plist):
+    """Enqueue ONE device rerank for a group of compatible pendings (same
+    store/batch shape/metric/filter/k) WITHOUT waiting for it. Returns
+    (plist, cands, raw_outputs) for _device_rerank_finish, or None -> host
+    fallback. Splitting dispatch from fetch lets resolve() enqueue every
+    group's program first and drain them with ONE device->host roundtrip
+    (per-group fetches cost ~31 ms each on a tunneled device)."""
     import jax.numpy as jnp
 
     plan0 = plist[0]._plan
     metric = plan0._metric
     if metric in VPU_METRICS:
-        return False  # [P,B,M,D] broadcast would blow memory; host path
+        return None  # [P,B,M,D] broadcast would blow memory; host path
     k_final = plan0._take_count
     take_min = plist[0]._take_type is TakeType.Min
     cands = []
@@ -594,7 +597,7 @@ def _device_rerank_group(store: "MetaStore", plist) -> bool:
             dict.fromkeys(idx.tolist()), dtype=np.int64, count=-1
         )
         if cand.size == 0:
-            return False
+            return None
         cands.append(cand)
     M = max(len(c) for c in cands)
     M = max(8, 1 << (M - 1).bit_length())  # few distinct compiled shapes
@@ -621,19 +624,23 @@ def _device_rerank_group(store: "MetaStore", plist) -> bool:
         (0.0, None) if plan0._vec_filter is None else plan0._vec_filter
     )
     b = qs[0].shape[0]
-    m_idx, out_s, out_ok = jax.device_get(
-        _rerank_program(
-            qs,
-            jnp.asarray(vecs),
-            jnp.asarray(pos),
-            jnp.asarray(valid_m),
-            jnp.float32(thr),
-            metric=metric,
-            k=min(k_final, b * M),
-            take_min=take_min,
-            cmp=cmp,
-        )
+    raw = _rerank_program(
+        qs,
+        jnp.asarray(vecs),
+        jnp.asarray(pos),
+        jnp.asarray(valid_m),
+        jnp.float32(thr),
+        metric=metric,
+        k=min(k_final, b * M),
+        take_min=take_min,
+        cmp=cmp,
     )
+    return plist, cands, raw
+
+
+def _device_rerank_finish(plist, cands, fetched) -> None:
+    """Assign the fetched rerank outputs back onto each pending."""
+    m_idx, out_s, out_ok = fetched
     for p, cand, mi, so, oo in zip(plist, cands, m_idx, out_s, out_ok):
         oo = np.asarray(oo, dtype=bool)
         rows_orig = cand[np.asarray(mi)[oo]]
@@ -642,6 +649,18 @@ def _device_rerank_group(store: "MetaStore", plist) -> bool:
             rows_orig.tolist(),
             np.asarray(so)[oo].tolist(),
         )
+
+
+def _device_rerank_group(store: "MetaStore", plist) -> bool:
+    """Dispatch + fetch one group synchronously (the single-pending path in
+    result(); resolve() pipelines dispatches itself). False -> host path."""
+    import jax
+
+    state = _device_rerank_dispatch(store, plist)
+    if state is None:
+        return False
+    plist, cands, raw = state
+    _device_rerank_finish(plist, cands, jax.device_get(raw))
     return True
 
 
@@ -2588,9 +2607,11 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
 
     # batched rerank: pendings group by compatible shape/plan signature;
     # each group first tries ONE device program scoring every member's
-    # candidates in a single dispatch (+ one tiny fetch), falling back to a
-    # single union fetch_vectors prefetch + host math (per-pending fetches
-    # would pay a device/tunnel roundtrip each)
+    # candidates in a single dispatch, falling back to a single union
+    # fetch_vectors prefetch + host math (per-pending fetches would pay a
+    # device/tunnel roundtrip each). ALL groups dispatch before ANY result
+    # is fetched: one batched device->host roundtrip drains every group,
+    # and group i's device rerank overlaps group i+1's host-side prep
     by_group: Dict[tuple, Tuple[MetaStore, list]] = {}
     for p in todo:
         plan = p._plan
@@ -2607,12 +2628,26 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
                 plan._take_count,
             )
             by_group.setdefault(gkey, (plan._store, []))[1].append(p)
+    states = []  # (store, plist, cands, raw_outputs)
+    host_groups = []
     for store, plist in by_group.values():
         try:
-            if _device_rerank_group(store, plist):
-                continue
+            state = _device_rerank_dispatch(store, plist)
         except Exception:
-            pass  # host fallback below
+            state = None  # host fallback below
+        if state is None:
+            host_groups.append((store, plist))
+        else:
+            _, cands, raw = state
+            states.append((store, plist, cands, raw))
+    if states:
+        drained = jax.device_get([raw for _, _, _, raw in states])
+        for (store, plist, cands, _), out in zip(states, drained):
+            try:
+                _device_rerank_finish(plist, cands, out)
+            except Exception:
+                host_groups.append((store, plist))
+    for store, plist in host_groups:
         ids: set = set()
         for p in plist:
             rows, _, valid = p._fetched[0], p._fetched[1], p._fetched[2]
