@@ -2592,8 +2592,23 @@ class PendingMetaQuery:
         return self._result
 
 
+def _resolve_group_max() -> int:
+    """Max pendings per device-rerank dispatch unit in resolve().
+
+    0 (default) = one unit per compatible group, maximizing candidate-union
+    dedup and using the fewest dispatches. A positive value splits groups
+    into chunks AND fetches each chunk's scan outputs right before its
+    dispatch — so unit i's host-side rerank prep (candidate union build,
+    fetch_vectors gather, h2d staging) overlaps the device scans still
+    running for units i+1.. . Worth sweeping on hardware where the rerank
+    gather/transfer is a visible fraction of the pipeline."""
+    import os
+
+    return max(0, int(os.environ.get("OTTERS_RESOLVE_GROUP_MAX", "0")))
+
+
 def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
-    """Finalize many in-flight queries with ONE device->host fetch.
+    """Finalize many in-flight queries with batched device->host fetches.
 
     Per-fetch latency dominates small-result queries on tunneled/multi-host
     setups; batching the fetch amortizes it across the whole pipeline.
@@ -2601,17 +2616,16 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
     import jax
 
     todo = [p for p in pendings if p._raw is not None and p._result is None]
-    fetched = jax.device_get([p._raw for p in todo])
-    for p, f in zip(todo, fetched):
-        p._fetched = tuple(f)
 
     # batched rerank: pendings group by compatible shape/plan signature;
     # each group first tries ONE device program scoring every member's
     # candidates in a single dispatch, falling back to a single union
     # fetch_vectors prefetch + host math (per-pending fetches would pay a
-    # device/tunnel roundtrip each). ALL groups dispatch before ANY result
-    # is fetched: one batched device->host roundtrip drains every group,
-    # and group i's device rerank overlaps group i+1's host-side prep
+    # device/tunnel roundtrip each). Grouping needs only plan metadata, so
+    # it happens BEFORE any scan output is fetched; with a group-max set,
+    # each chunk's raw fetch + host prep interleave with the device scans
+    # still running for later chunks. ALL dispatches happen before ANY
+    # rerank result is fetched: one batched roundtrip drains every unit
     by_group: Dict[tuple, Tuple[MetaStore, list]] = {}
     for p in todo:
         plan = p._plan
@@ -2628,9 +2642,31 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
                 plan._take_count,
             )
             by_group.setdefault(gkey, (plan._store, []))[1].append(p)
+
+    gmax = _resolve_group_max()
+    units = []  # (store, plist-chunk)
+    for store, plist in by_group.values():
+        if gmax and len(plist) > gmax:
+            units.extend(
+                (store, plist[i : i + gmax])
+                for i in range(0, len(plist), gmax)
+            )
+        else:
+            units.append((store, plist))
+
+    def _fetch_raws(ps) -> None:
+        ps = [p for p in ps if p._fetched is None]
+        if ps:
+            for p, f in zip(ps, jax.device_get([p._raw for p in ps])):
+                p._fetched = tuple(f)
+
+    if not gmax:
+        _fetch_raws(todo)  # one fetch for everything, grouped or not
+
     states = []  # (store, plist, cands, raw_outputs)
     host_groups = []
-    for store, plist in by_group.values():
+    for store, plist in units:
+        _fetch_raws(plist)
         try:
             state = _device_rerank_dispatch(store, plist)
         except Exception:
@@ -2640,6 +2676,7 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
         else:
             _, cands, raw = state
             states.append((store, plist, cands, raw))
+    _fetch_raws(todo)  # pendings outside any rerank group
     if states:
         drained = jax.device_get([raw for _, _, _, raw in states])
         for (store, plist, cands, _), out in zip(states, drained):

@@ -186,6 +186,8 @@ def p3_cert_end_to_end():
     )
     qs = [jax.random.normal(jax.random.PRNGKey(100 + i), (B, D), jnp.float32)
           for i in range(16)]
+    import os
+
     for certify in (False, None):
         def dispatch(i):
             return (
@@ -203,6 +205,27 @@ def p3_cert_end_to_end():
             best = max(best, 16 * B / (time.perf_counter() - t0))
         print(f"  certify={certify}: {best:.0f} q/s "
               f"(certified={st.certified}, width={st.scan_k_wide})")
+
+    # P3b: resolve-unit chunking sweep — a positive OTTERS_RESOLVE_GROUP_MAX
+    # overlaps each unit's host-side rerank prep (union gather + h2d) with
+    # the device scans still running for later units
+    print("P3b: OTTERS_RESOLVE_GROUP_MAX sweep (certify=None)")
+    for gmax in ("0", "2", "4", "8"):
+        os.environ["OTTERS_RESOLVE_GROUP_MAX"] = gmax
+        try:
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                resolve([
+                    store.query_batch(qs[i % 16], Metric.Cosine)
+                    .take(10, rerank_from=100)
+                    .collect_async()
+                    for i in range(16)
+                ])
+                best = max(best, 16 * B / (time.perf_counter() - t0))
+            print(f"  gmax={gmax}: {best:.0f} q/s")
+        finally:
+            del os.environ["OTTERS_RESOLVE_GROUP_MAX"]
 
 
 if __name__ == "__main__":

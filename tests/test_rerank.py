@@ -167,10 +167,14 @@ def test_rerank_error_paths():
         )
 
 
-def test_resolve_batches_rerank_fetch_one_call():
+def test_resolve_batches_rerank_fetch_one_call(monkeypatch):
     """resolve() must fetch rerank vectors ONCE for all in-flight queries
     (per-pending fetches would pay a device roundtrip each)."""
     from otters_tpu.meta import resolve
+
+    # pin the default single-unit contract (a positive OTTERS_RESOLVE_
+    # GROUP_MAX intentionally splits the group; see the chunked test below)
+    monkeypatch.delenv("OTTERS_RESOLVE_GROUP_MAX", raising=False)
 
     rng = np.random.default_rng(11)
     n, d = 4_000, 32
@@ -404,3 +408,47 @@ def test_append_with_fetch_rerank_raises():
     new_vals = {name: _head_vals(c, 1) for name, c in cols.items()}
     with pytest.raises(OttersError, match="fetch"):
         store.append(vecs[:1], new_vals)
+
+
+def test_resolve_group_max_chunks_match_sequential(monkeypatch):
+    """OTTERS_RESOLVE_GROUP_MAX splits a compatible group into dispatch
+    units (one rerank fetch each, pipelined against later scans) without
+    changing any result."""
+    from otters_tpu.meta import resolve
+
+    monkeypatch.setenv("OTTERS_RESOLVE_GROUP_MAX", "3")
+    rng = np.random.default_rng(12)
+    n, d = 4_000, 32
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    calls = []
+
+    def fetch(ids):
+        calls.append(len(ids))
+        return vecs[np.asarray(ids, dtype=np.int64)]
+
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(vecs)
+        .with_storage_dtype("int8")
+        .with_rerank_source(fetch_vectors=fetch)
+        .build()
+    )
+    qs = [rng.normal(size=(2, d)).astype(np.float32) for _ in range(7)]
+    pend = [
+        store.query_batch(q, Metric.Cosine)
+        .take(5, rerank_from=40)
+        .collect_async()
+        for q in qs
+    ]
+    results = resolve(pend)
+    assert len(calls) == 3, calls  # ceil(7 / 3) units, one fetch each
+    calls.clear()
+    monkeypatch.delenv("OTTERS_RESOLVE_GROUP_MAX")
+    for q, r in zip(qs, results):
+        want = (
+            store.query_batch(q, Metric.Cosine)
+            .take(5, rerank_from=40)
+            .collect()
+        )
+        assert r.indices == want.indices
+        np.testing.assert_allclose(r.scores, want.scores, rtol=1e-6)
