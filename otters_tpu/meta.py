@@ -601,12 +601,12 @@ def _device_rerank_dispatch(store: "MetaStore", plist):
         cands.append(cand)
     M = max(len(c) for c in cands)
     M = max(8, 1 << (M - 1).bit_length())  # few distinct compiled shapes
-    union: Dict[int, int] = {}
-    for cand in cands:
-        for i in cand.tolist():
-            if i not in union:
-                union[i] = len(union)
-    ids_arr = np.fromiter(union.keys(), dtype=np.int64, count=len(union))
+    # SORTED union: np.unique + searchsorted beat a Python dict by ~100x at
+    # serving-sized unions, and an ascending id order makes the user's
+    # fetch a locality-friendly gather. Union order is free to choose —
+    # per-pending tie-breaking follows the slot order inside each cand
+    # (scan output order), which is untouched.
+    ids_arr = np.unique(np.concatenate(cands))
     # pad the union to a power of two (repeat a real id) so the program
     # compiles for a handful of shapes, not one per candidate count
     u_pad = max(64, 1 << (len(ids_arr) - 1).bit_length())
@@ -617,7 +617,7 @@ def _device_rerank_dispatch(store: "MetaStore", plist):
     pos = np.zeros((P, M), dtype=np.int32)
     valid_m = np.zeros((P, M), dtype=bool)
     for j, cand in enumerate(cands):
-        pos[j, : len(cand)] = [union[i] for i in cand.tolist()]
+        pos[j, : len(cand)] = np.searchsorted(ids_arr, cand).astype(np.int32)
         valid_m[j, : len(cand)] = True
     qs = tuple(jnp.asarray(p._queries, dtype=jnp.float32) for p in plist)
     thr, cmp = (
