@@ -572,6 +572,21 @@ def _jit_rerank_program():
 _rerank_program = _jit_rerank_program()
 
 
+def _pad_bucket(n: int, floor: int = 64) -> int:
+    """Smallest quarter-octave bucket >= n: prev_pow2 * {1.25, 1.5, 1.75,
+    2}. Keeps the compiled-shape count small (4 per octave) while capping
+    pad waste at 25% (pure power-of-two padding wastes up to 100%)."""
+    if n <= floor:
+        return floor
+    p = 1 << (n - 1).bit_length()  # next power of two
+    base = p >> 1
+    for num in (5, 6, 7):  # base * 1.25 / 1.5 / 1.75
+        cand = (base * num) >> 2
+        if cand >= n:
+            return cand
+    return p
+
+
 def _device_rerank_dispatch(store: "MetaStore", plist):
     """Enqueue ONE device rerank for a group of compatible pendings (same
     store/batch shape/metric/filter/k) WITHOUT waiting for it. Returns
@@ -593,9 +608,11 @@ def _device_rerank_dispatch(store: "MetaStore", plist):
         idx = np.asarray(rows)[np.asarray(valid, dtype=bool)].astype(np.int64)
         if store._index_map is not None:
             idx = store._index_map[idx]
-        cand = np.fromiter(
-            dict.fromkeys(idx.tolist()), dtype=np.int64, count=-1
-        )
+        # dedup preserving FIRST-SEEN (scan output) order — tie-breaking in
+        # the rerank follows this slot order, so it must match what a
+        # sequential collect() would feed exact_rerank
+        _, first = np.unique(idx, return_index=True)
+        cand = idx[np.sort(first)]
         if cand.size == 0:
             return None
         cands.append(cand)
@@ -607,9 +624,12 @@ def _device_rerank_dispatch(store: "MetaStore", plist):
     # per-pending tie-breaking follows the slot order inside each cand
     # (scan output order), which is untouched.
     ids_arr = np.unique(np.concatenate(cands))
-    # pad the union to a power of two (repeat a real id) so the program
-    # compiles for a handful of shapes, not one per candidate count
-    u_pad = max(64, 1 << (len(ids_arr) - 1).bit_length())
+    # pad the union to a quarter-octave bucket (repeat a real id): a
+    # handful of compiled shapes per octave, but at most 25% of the
+    # fetch + h2d transfer wasted on padding (a pure power of two wastes
+    # up to 100% — that is ~60 MB of extra f32 rows per 16x256-query
+    # resolve at k'=100)
+    u_pad = _pad_bucket(len(ids_arr))
     ids_padded = np.full(u_pad, ids_arr[0], dtype=np.int64)
     ids_padded[: len(ids_arr)] = ids_arr
     vecs = store._rerank_fetch(ids_padded)
