@@ -2274,7 +2274,7 @@ class PendingMetaQuery:
         self._score_start = score_start
         self._result: Optional[MetaQueryResults] = None
         self._fetched = None
-        self._rerank_prefetch = None  # set by resolve(): (id->row, matrix)
+        self._rerank_prefetch = None  # set by resolve(): (sorted ids, rows)
         self._device_rerank = None  # set by resolve(): (cand set, rows, scores)
         self._rerun_widened = None  # set when the int8 certificate is active
         self._certified: Optional[bool] = None  # certificate outcome
@@ -2295,12 +2295,16 @@ class PendingMetaQuery:
         orig = store._index_map[idx] if store._index_map is not None else idx
         fetch = store._rerank_fetch
         if self._rerank_prefetch is not None:
-            lookup, mat = self._rerank_prefetch
+            pf_ids, mat = self._rerank_prefetch  # sorted ids, their rows
 
-            def fetch(ids, _lk=lookup, _m=mat, _f=store._rerank_fetch):
-                rows = [_lk.get(int(i)) for i in ids]
-                if all(r is not None for r in rows):
-                    return _m[rows]
+            def fetch(ids, _ids=pf_ids, _m=mat, _f=store._rerank_fetch):
+                ids = np.asarray(ids, dtype=np.int64)
+                if len(_ids):
+                    pos = np.minimum(
+                        np.searchsorted(_ids, ids), len(_ids) - 1
+                    )
+                    if (_ids[pos] == ids).all():
+                        return _m[pos]
                 return _f(ids)  # e.g. a collision redo changed the set
         # re-rank ALL candidates, re-apply the vec_filter on the exact
         # scores, then truncate — a filter that passed on scan scores can
@@ -2716,11 +2720,12 @@ def resolve(pendings: List["PendingMetaQuery"]) -> List[MetaQueryResults]:
             ids.update(idx.tolist())
         if not ids:
             continue
-        ids_arr = np.fromiter(ids, dtype=np.int64, count=len(ids))
+        # sorted union: the consumers look rows up via searchsorted, and a
+        # monotone id order makes the user's fetch a locality-friendly gather
+        ids_arr = np.unique(np.fromiter(ids, dtype=np.int64, count=len(ids)))
         mat = np.asarray(store._rerank_fetch(ids_arr), dtype=np.float32)
-        lookup = {int(i): j for j, i in enumerate(ids_arr)}
         for p in plist:
-            p._rerank_prefetch = (lookup, mat)
+            p._rerank_prefetch = (ids_arr, mat)
     return [p.result() for p in pendings]
 
 
