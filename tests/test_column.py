@@ -189,3 +189,67 @@ def test_method_chaining():
     assert len(c) == 4
     assert list(c.values())[:3] == [1, 2, 3]
     assert bool(c.null_mask()[3])
+
+
+# ---- bulk datetime ingest (vectorized fast path) ----------------------------
+
+
+def test_bulk_datetime_parse_matches_per_row_fuzz():
+    """_parse_datetime_bulk must be bit-equivalent to parse_datetime on the
+    strict auto-format shapes, across random datetimes and all four forms."""
+    import datetime as dt
+
+    import numpy as np
+
+    from otters_tpu.column import parse_datetime
+
+    rng = np.random.default_rng(7)
+    base = dt.datetime(1970, 1, 1)
+    forms = (
+        lambda d: d.strftime("%Y-%m-%d"),
+        lambda d: d.strftime("%Y-%m-%dT%H:%M:%S"),
+        lambda d: d.strftime("%Y-%m-%d %H:%M:%S"),
+        lambda d: d.strftime("%Y-%m-%dT%H:%M:%SZ"),
+    )
+    vals = []
+    for _ in range(3000):
+        d = base + dt.timedelta(
+            days=int(rng.integers(-30000, 80000)),
+            seconds=int(rng.integers(0, 86400)),
+        )
+        vals.append(forms[int(rng.integers(0, 4))](d))
+    # edge dates
+    vals += ["0001-01-01", "9999-12-31T23:59:59Z", "1969-12-31 23:59:59",
+             "1970-01-01", "2000-02-29T00:00:00"]
+    col = Column("d", DataType.DateTime).from_values(vals)
+    want = [parse_datetime(v) for v in vals]
+    assert list(col.values()) == want
+    assert not any(col.null_mask())
+
+
+def test_bulk_datetime_fallback_shapes_still_exact():
+    """Rows outside the strict shapes (offsets, fractional seconds) must
+    fall back to the per-row parser and still land exact values; bad rows
+    raise the reference error."""
+    from otters_tpu.column import parse_datetime
+    from otters_tpu.errors import ColumnParseError
+
+    mixed = [
+        "2024-06-15T12:34:56+05:00",   # offset: numpy can't, fromisoformat can
+        "2024-06-15T12:34:56.250Z",    # fractional seconds
+        "2024-06-15T12:34:56",
+    ]
+    col = Column("d", DataType.DateTime).from_values(mixed)
+    assert list(col.values()) == [parse_datetime(v) for v in mixed]
+    with pytest.raises(ColumnParseError):
+        Column("d", DataType.DateTime).from_values(
+            ["2024-01-01", "not-a-date"]
+        )
+    # a custom format skips the bulk path entirely (strptime semantics)
+    c = Column("d", DataType.DateTime).with_datetime_fmt("%d/%m/%Y")
+    c.from_values(["15/06/2024", "01/01/1970"])
+    assert list(c.values())[1] == 0
+    with pytest.raises(ColumnParseError):
+        Column("d", DataType.DateTime).with_datetime_fmt(
+            "%d/%m/%Y"
+        ).from_values(["2024-01-01"])
