@@ -123,6 +123,36 @@ def p1_phase_split(dv, n):
               f"{2 * n * D * B / dt / 1e12:.0f} TOPS-equivalent")
 
 
+def p1b_xla_vs_pallas(dv, n):
+    """If Mosaic runs int8 dots at the bf16 rate while XLA engages the 2x
+    int8 MXU mode (P0 decides), the XLA scan path could beat the fused
+    kernel on UNFILTERED scans (where tile-skipping buys nothing)."""
+    import os
+
+    from otters_tpu.ops import scoring
+    from otters_tpu.types import Metric
+
+    print("P1b: XLA scan path vs pallas, 10M unfiltered b=256 k'=100")
+    qk = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (B, D), jnp.float32)
+    )
+    os.environ["OTTERS_DISABLE_PALLAS"] = "1"
+    try:
+        rows, scores, ok = scoring.run_vec_topk(
+            dv, qk, Metric.Cosine, 100, False, None, None
+        )  # warm
+        t0 = time.perf_counter()
+        for _ in range(4):
+            rows, scores, ok = scoring.run_vec_topk(
+                dv, qk, Metric.Cosine, 100, False, None, None
+            )
+        dt = (time.perf_counter() - t0) / 4
+        print(f"  XLA path: {dt * 1e3:.2f} ms/iter -> {B / dt:.0f} q/s, "
+              f"{2 * n * D * B / dt / 1e12:.0f} TOPS-equivalent")
+    finally:
+        del os.environ["OTTERS_DISABLE_PALLAS"]
+
+
 def p2_tile_sweep(dv, n):
     from otters_tpu.ops import pallas_topk as pk
     from otters_tpu.types import Metric
@@ -233,6 +263,7 @@ if __name__ == "__main__":
     p0_int8_rate()
     dv, n = _build_10m_int8()
     p1_phase_split(dv, n)
+    p1b_xla_vs_pallas(dv, n)
     p2_tile_sweep(dv, n)
     del dv
     p3_cert_end_to_end()
