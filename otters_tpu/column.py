@@ -83,10 +83,11 @@ def _parse_datetime_bulk(arr: np.ndarray) -> Optional[np.ndarray]:
     if not np.array_equal(ends_z, lens == 20):
         return None
     if ends_z.any():
-        arr = np.where(ends_z, np.char.rstrip(arr, "Z"), arr)
-    try:
-        import warnings
+        # rstrip is the identity on the (verified) non-Z rows
+        arr = np.char.rstrip(arr, "Z")
+    import warnings
 
+    try:
         with warnings.catch_warnings():
             warnings.simplefilter("error")  # tz-parse deprecations -> loop
             ms = arr.astype("datetime64[ms]")
