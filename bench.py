@@ -850,7 +850,11 @@ def _supervise() -> None:
                     "vs_baseline": 0.0,
                     "extras": {
                         "error": "backend unreachable: jax.devices() hung "
-                        f"or failed twice within {probe_s}s (dead tunnel?)"
+                        f"or failed twice within {probe_s}s (dead tunnel?)",
+                        "note": "device relay outage — the standing "
+                        "hardware numbers are BENCH_r03.json / "
+                        "BENCH_r03_local.json; see ROUND4.md 'tunnel "
+                        "outage' for the full-flow CPU smoke evidence",
                     },
                 }))
                 return
