@@ -388,7 +388,9 @@ def run_10m(store):
     def timed_qps(which, rounds=5):
         # >= 5 trials per config with dispersion recorded (the round-3 1M
         # tunnel-variance lesson, ROUND3.md): a future regression must be
-        # distinguishable from tunnel noise in the artifact itself
+        # distinguishable from tunnel noise in the artifact itself.
+        # The reported value is the MEDIAN (VERDICT r4 weak-7: max-of-5
+        # flattered the headline 3.3x); max/min stay in extras.dispersion.
         dispatch(which).result()  # compile this variant
         aot.wait_jit_ready(timeout=420.0)
         vals = []
@@ -403,7 +405,9 @@ def run_10m(store):
                 f"{dt:.3f}s -> {qps:.1f} q/s")
             vals.append(qps)
         disp[which] = _dispersion(vals)
-        return max(vals)
+        import statistics
+
+        return statistics.median(vals)
 
     best = timed_qps("filtered")
     # scan-only continuity metric (round-2's headline definition: k'=100

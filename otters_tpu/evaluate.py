@@ -49,8 +49,10 @@ def exact_rerank(
     if metric is Metric.Cosine:
         qn = np.linalg.norm(q, axis=1)
         vn = np.linalg.norm(v, axis=1)
-        s = (q @ v.T) * np.where(qn > 0, 1 / qn, 0)[:, None]
-        s = s * np.where(vn > 0, 1 / vn, 0)[None, :]
+        # guard the divisor BEFORE dividing: 1/qn on a zero-norm row emits
+        # a RuntimeWarning even though np.where discards the result
+        s = (q @ v.T) * np.where(qn > 0, 1 / np.where(qn > 0, qn, 1.0), 0)[:, None]
+        s = s * np.where(vn > 0, 1 / np.where(vn > 0, vn, 1.0), 0)[None, :]
     elif metric is Metric.DotProduct:
         s = q @ v.T
     elif metric is Metric.Euclidean:

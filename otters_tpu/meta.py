@@ -408,30 +408,36 @@ def _jit_meta_program():
             rmask = None
 
         # certification slack for the NON-pallas int8 paths: one global term
-        # (the pallas kernel composes tighter per-bin/per-row terms itself)
+        # (the pallas kernel composes tighter per-bin/per-row terms itself).
+        # Certified scans run MIXED (bf16-rounded queries x int8 rows, see
+        # ops/scoring.bf16_query_unit_resid) — signaled to _score_block by
+        # the bf16 query dtype — so the query-side slack term is bf16
+        # rounding (~2e-3), not int8 quantization (~1e-2).
         cert_slack = None
         thr_core = thr
+        q_core = queries
         if certify and tile != "pallas":
-            e_q = scoring.query_unit_resid(queries)
+            e_q = scoring.bf16_query_unit_resid(queries)
             e_q_max = (
                 jnp.max(e_q) if queries.shape[0] else jnp.float32(0.0)
             )
             cert_slack = (
                 e_q_max
                 + dv.resid_max
-                + jnp.float32(scoring.int8_cert_eps(dv.vectors.shape[1]))
+                + jnp.float32(scoring.mixed_cert_eps(dv.vectors.shape[1]))
             )
             if cmp in (Cmp.Gt, Cmp.Gte):
                 # loosen so no truly passing row is dropped on its
                 # quantized score (the rerank re-applies the exact filter)
                 thr_core = thr - cert_slack
+            q_core = queries.astype(jnp.bfloat16)
 
         args = (
             dv.vectors,
             dv.norms_sq,
             dv.inv_norms,
             dv.valid,
-            queries,
+            q_core,
             rmask,
             thr_core,
         )

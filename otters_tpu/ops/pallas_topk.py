@@ -136,6 +136,7 @@ def _kernel(
     prec: str,
     nb: int,
     bo: int,
+    certify: bool = False,
 ):
     g = pl.program_id(0)
     real = g < ns_ref[0]
@@ -151,6 +152,18 @@ def _kernel(
             dots = jax.lax.dot_general(
                 q, v_ref[:], dn, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
+        elif q_ref.dtype == jnp.bfloat16:
+            # MIXED certified scan: bf16-rounded queries x int8 rows. int8
+            # codes are exact in bf16 (8-bit significand), the products are
+            # exact in the f32 accumulator — the only scan-side errors are
+            # f32 accumulation (mixed_cert_eps) and the row quantization
+            # residual folded per row below. One bf16 MXU pass.
+            dots = jax.lax.dot_general(
+                q,
+                v_ref[:].astype(jnp.bfloat16),
+                dn,
+                preferred_element_type=jnp.float32,
+            )
         elif prec == "high":
             # Mosaic has no Precision.HIGH lowering; do bf16_3x by hand:
             # three bf16 MXU passes with f32 accumulation, dropping ql.vl
@@ -204,6 +217,16 @@ def _kernel(
         key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
         if take_min:
             key = -key
+        if certify:
+            # fold the PER-ROW quantization residual into the key before
+            # the bin-max reduce: the bin maxima then bound max(score +
+            # resid) per bin directly — strictly tighter than the r4
+            # max(score) + max(resid) composition — and selecting bins by
+            # this adjusted key provably minimizes the resulting bound
+            # (the unselected bins are exactly the smallest adjusted
+            # maxima). take_min is excluded from certify (asserted), so
+            # the sign is always +. Masked rows stay -inf.
+            key = key + aux_ref[3, :][None, :]
         for j in range(nb):
             m = jnp.max(key[:, j * BIN : (j + 1) * BIN], axis=1)  # [b_pad]
             if bo > b_pad:  # pad to the 128-lane output block
@@ -303,15 +326,25 @@ def _pallas_topk_jit(
         # fast (bf16_3x) and certify (int8) are disjoint modes: the branches
         # below are mutually exclusive and fast never binds cert_eps
         assert not fast
+    q_kern = None
     if int8_mode:
-        # quantized-cosine storage: quantize the queries symmetrically; both
-        # phases run native int8 x int8 -> int32 MXU dots (exact at any d)
-        from .scoring import _quantize_rows_int8, query_unit_resid
+        from .scoring import _quantize_rows_int8, bf16_query_unit_resid
 
         if certify:
-            e_q = query_unit_resid(queries)  # [b] sound query-side residual
-        q_int8, _, _ = _quantize_rows_int8(queries)
-        queries = q_int8.astype(jnp.float32)  # for norms / qaux only
+            # MIXED certified scan: round the queries ONCE to bf16 and keep
+            # them unquantized — the query-side certificate term shrinks
+            # from int8 quantization (~1e-2, half the r4 slack) to bf16
+            # rounding (~2e-3), computed exactly per query below. The MXU
+            # runs bf16-query x int8-row dots (int8 exact in bf16).
+            e_q = bf16_query_unit_resid(queries)  # [b] sound, pre-rounding
+            q_kern = queries.astype(jnp.bfloat16)
+            queries = q_kern.astype(jnp.float32)  # for norms / qaux
+        else:
+            # uncertified quantized-cosine: symmetric int8 queries; both
+            # phases run native int8 x int8 -> int32 MXU dots (exact at
+            # any d)
+            q_kern, _, _ = _quantize_rows_int8(queries)
+            queries = q_kern.astype(jnp.float32)  # for norms / qaux only
     b_pad = _pad_b(b)
     bo = _round_up(b_pad, LANE)  # output block lane width
     # the tile size is defined by the caller through tile_alive's length
@@ -363,9 +396,9 @@ def _pallas_topk_jit(
         else:
             thr1 = thr
     elif certify:
-        from .scoring import int8_cert_eps
+        from .scoring import mixed_cert_eps
 
-        cert_eps = jnp.float32(int8_cert_eps(d))
+        cert_eps = jnp.float32(mixed_cert_eps(d))
         if q_valid is not None:
             e_q = jnp.where(q_valid, e_q, 0.0)
         e_q_max = jnp.max(e_q) if b else jnp.float32(0.0)
@@ -385,7 +418,7 @@ def _pallas_topk_jit(
         prec1 = prec
         thr1 = thr
     if int8_mode:
-        q_pad = jnp.zeros((b_pad, d), jnp.int8).at[:b].set(q_int8)
+        q_pad = jnp.zeros((b_pad, d), q_kern.dtype).at[:b].set(q_kern)
     else:
         q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
     qaux = jnp.zeros((4, bo), jnp.float32)
@@ -404,7 +437,9 @@ def _pallas_topk_jit(
             inv_norms[None, :],
             norms_sq[None, :],
             rmask01[None, :],
-            jnp.zeros((1, n_pad), jnp.float32),
+            # certify: per-row residuals ride the aux tile so phase 1 can
+            # fold them into the bin max (resid is 0 on padding rows)
+            resid[None, :] if certify else jnp.zeros((1, n_pad), jnp.float32),
         ],
         axis=0,
     )
@@ -448,7 +483,7 @@ def _pallas_topk_jit(
     bins = pl.pallas_call(
         partial(
             _kernel, metric=metric, take_min=take_min, cmp=cmp, prec=prec1,
-            nb=nb, bo=bo,
+            nb=nb, bo=bo, certify=certify,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, nb, bo), jnp.float32),
@@ -488,16 +523,12 @@ def _pallas_topk_jit(
     bound1 = jnp.float32(-jnp.inf)
     eqp = None
     if certify:
-        # phase-1 term of the certificate: for every UNSELECTED (and live)
-        # bin, its quantized bin max + that bin's residual max + the slot's
-        # query-side residual bounds the true cosine of any row it holds
-        rb_surv = resid_bin.reshape(n_tiles, nb)[surv]  # [n_tiles, nb]
+        # phase-1 term of the certificate: the bin maxima already carry the
+        # per-row residual (folded in-kernel), so an unselected bin's max +
+        # the slot's query-side residual bounds the true cosine of any row
+        # it holds: adjmax >= score(r) + resid(r) >= true(r) - e_q - eps.
         eqp = jnp.zeros((bo,), jnp.float32).at[:b].set(e_q)
-        adj = (
-            flat.reshape(n_tiles, nb, bo)
-            + rb_surv[:, :, None]
-            + eqp[None, None, :]
-        )
+        adj = flat.reshape(n_tiles, nb, bo) + eqp[None, None, :]
         adjf = adj.reshape(-1).at[top_slots].set(-jnp.inf)
         bound1 = jnp.max(adjf)
     gsel = top_slots // (nb * bo)
@@ -529,7 +560,16 @@ def _pallas_topk_jit(
         # dominate. One row gather + one batched MXU contraction instead.
         blk = vectors[rows_flat].reshape(kb, BIN, d)
         dn_b = (((1,), (2,)), ((0,), (0,)))
-        if int8_mode:
+        if int8_mode and certify:
+            # mixed rescore: bf16 queries x int8-as-bf16 rows, f32 acc —
+            # same arithmetic class as phase 1 (covered by mixed_cert_eps)
+            dd = jax.lax.dot_general(
+                q_cand,
+                blk.astype(jnp.bfloat16),
+                dn_b,
+                preferred_element_type=jnp.float32,
+            )
+        elif int8_mode:
             dd = jax.lax.dot_general(
                 q_cand, blk, dn_b, preferred_element_type=jnp.int32
             ).astype(jnp.float32)
@@ -556,7 +596,15 @@ def _pallas_topk_jit(
     def _bin_slices(carry, sq):
         s, qr = sq
         blk = jax.lax.dynamic_slice(vectors, (s, 0), (BIN, d))
-        if int8_mode:
+        if int8_mode and certify:
+            # mixed rescore (see _bin_gather)
+            dd = jax.lax.dot_general(
+                qr[None, :],
+                blk.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+        elif int8_mode:
             # exact int32 accumulation, matching phase 1 + the XLA int8 path
             dd = jax.lax.dot_general(
                 qr[None, :],
@@ -606,12 +654,26 @@ def _pallas_topk_jit(
         qv_pad = jnp.zeros((b_pad,), jnp.bool_).at[:b].set(q_valid)
         ok = ok & qv_pad[qsel_c][:, None]
     if cmp is not None:
-        # certify: phase-2 scores are still quantized — keep the loosened
+        # certify: phase-2 scores are still approximate — keep the loosened
         # threshold so no truly passing row is dropped before the rerank
         ok = ok & _filter_ok(scores, thr1 if certify else thr, cmp)
-    key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
-    if take_min:
-        key = -key
+    adj2 = None
+    if certify:
+        # select the k candidates by the ADJUSTED key (score + per-row
+        # residual + query residual): the unreturned rows are then exactly
+        # the smallest adjusted values, which provably minimizes the
+        # resulting bound. The rerank re-scores candidates in exact f32, so
+        # selection order does not affect result exactness — only how often
+        # the certificate passes at a given scan width.
+        resid_rows = sliced[-1]
+        adj2 = jnp.where(
+            ok, scores + resid_rows + eqp[qsel_c][:, None], -jnp.inf
+        )
+        key = adj2
+    else:
+        key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
+        if take_min:
+            key = -key
     key_flat = key.reshape(-1)
     top_keys, sel = jax.lax.top_k(key_flat, min(k, key_flat.shape[0]))
     out_rows = rows_flat[sel].astype(jnp.int32)
@@ -626,10 +688,6 @@ def _pallas_topk_jit(
     if certify:
         # phase-2 term: examined rows NOT returned as candidates, with
         # their own per-row residuals (tighter than the bin max)
-        resid_rows = sliced[-1]
-        adj2 = jnp.where(
-            ok, scores + resid_rows + eqp[qsel_c][:, None], -jnp.inf
-        )
         adj2f = adj2.reshape(-1).at[sel].set(-jnp.inf)
         bound = jnp.maximum(bound1, jnp.max(adj2f)) + cert_eps
     else:

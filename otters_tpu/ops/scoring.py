@@ -173,6 +173,28 @@ def query_unit_resid(queries):
     return unit_resid(q32, q8.astype(jnp.float32), inv_q, qi8)
 
 
+@jax.jit
+def bf16_query_unit_resid(queries):
+    """[B] sound bounds on the bf16-ROUNDED query residual (mixed scan).
+
+    The certified scan does not quantize queries to int8 at all: it rounds
+    them once to bfloat16 and runs bf16-query x int8-row MXU dots (int8
+    codes are exactly representable in bf16, so the row side contributes
+    only its stored quantization residual). This bound covers the query
+    side: ||q/||q|| - qh/||qh|||| for qh = bf16(q), ~2^-9 instead of the
+    ~1e-2 int8 quantization residual — the dominant term VERDICT r4 found
+    in the certificate slack. Queries that are nonzero in f32 but round to
+    bf16 zero (all-subnormal rows) get the trivially sound bound 2.0."""
+    q32 = jnp.asarray(queries, dtype=jnp.float32)
+    qh32 = q32.astype(jnp.bfloat16).astype(jnp.float32)
+    nq = jnp.sqrt(jnp.sum(q32 * q32, axis=1))
+    inv_q = jnp.where(nq != 0.0, 1.0 / nq, 0.0)
+    nh = jnp.sqrt(jnp.sum(qh32 * qh32, axis=1))
+    inv_h = jnp.where(nh != 0.0, 1.0 / nh, 0.0)
+    r = unit_resid(q32, qh32, inv_q, inv_h)
+    return jnp.where((inv_q != 0.0) & (inv_h == 0.0), jnp.float32(2.0), r)
+
+
 def finalize_resid(resid):
     """-> (resid_bin | None, resid_max) from a [N_pad] residual array."""
     n_pad = resid.shape[0]
@@ -192,6 +214,19 @@ def int8_cert_eps(d: int) -> float:
     bound speaks about and the f32-HIGHEST rerank arithmetic the certificate
     compares against, on both sides: ~2 * gamma_d, gamma_d ~= d * 2^-24."""
     return 2.0 * d * 2.0**-24 + 2.0e-6
+
+
+def mixed_cert_eps(d: int) -> float:
+    """Arithmetic headroom for the MIXED certified scan (bf16 queries x
+    int8 rows, f32 accumulation).
+
+    bf16 x bf16 products are exact in f32 (8+8 significand bits < 24); the
+    MXU accumulates in f32 with forward error <= gamma_d * ||q||*||v||
+    (gamma_d ~= d * 2^-24, any accumulation order), the two inv-norm
+    multiplies cost ~4 ulp of a score <= 1, and the f32-computed inverse
+    norms carry ~gamma_d relative error each. Doubled again for the rerank
+    side the certificate compares against (same as int8_cert_eps's (b))."""
+    return 4.0 * d * 2.0**-24 + 4.0e-6
 
 
 def materialize_from_device(
@@ -342,6 +377,22 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
             raise OttersError(
                 "int8 quantized storage supports the Cosine metric only"
             )
+        if queries.dtype == jnp.bfloat16:
+            # MIXED certified scan: bf16-rounded queries x int8 rows (exact
+            # in bf16), f32 accumulation. No query quantization residual —
+            # the certificate's query-side term shrinks to bf16 rounding
+            # (see bf16_query_unit_resid). Callers signal the mode by
+            # handing the queries in bfloat16.
+            qh32 = queries.astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(qh32 * qh32, axis=1))
+            qih = jnp.where(qn != 0.0, 1.0 / qn, 0.0)
+            dots = jax.lax.dot_general(
+                queries,
+                vecs.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dots * qih[:, None] * v_inv[None, :]
         # quantized cosine: quantize the queries symmetrically per row and
         # run the int8 MXU path; per-row scales cancel under normalization
         q8, _, q_inv8 = _quantize_rows_int8(queries)

@@ -103,10 +103,15 @@ def _jit_sharded_program():
             # bound on every row the merged candidate set excludes.
             slack_g = None
             thr_core = thr_l
+            q_core = q_l
             if certify:
                 from ..types import Cmp as _Cmp
 
-                e_q = scoring.query_unit_resid(q_l)
+                # MIXED certified scan (see ops/scoring.bf16_query_unit_
+                # resid): bf16-rounded queries x int8 rows; the XLA cores
+                # below dispatch on the bf16 query dtype, the pallas kernel
+                # rounds internally from the f32 queries it receives.
+                e_q = scoring.bf16_query_unit_resid(q_l)
                 e_q = jnp.where(qv_l, e_q, 0.0)
                 e_q_max = jax.lax.pmax(
                     jnp.max(e_q) if b_local else jnp.float32(0.0), axes
@@ -115,19 +120,20 @@ def _jit_sharded_program():
                     e_q_max
                     + dv_l.resid_max
                     + jnp.float32(
-                        scoring.int8_cert_eps(dv_l.vectors.shape[1])
+                        scoring.mixed_cert_eps(dv_l.vectors.shape[1])
                     )
                 )
                 if cmp in (_Cmp.Gt, _Cmp.Gte):
                     # same loosening as the single-device program: no truly
                     # passing row may be dropped on its quantized score
                     thr_core = thr_l - slack_g
+                q_core = q_l.astype(jnp.bfloat16)
             args = (
                 dv_l.vectors,
                 dv_l.norms_sq,
                 dv_l.inv_norms,
                 dv_l.valid,
-                q_l,
+                q_core,
                 rmask,
                 thr_core,
             )

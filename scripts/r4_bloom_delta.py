@@ -44,19 +44,31 @@ def main():
     t_hash = time.perf_counter() - t0
     print(f"hash_strings (host, shared by both paths): {t_hash:.2f}s")
 
+    # ADVICE r4: label which host path build_matrix actually took — on a
+    # native-load failure it silently falls back to the much slower
+    # np.bitwise_or.at scatter, which would corrupt the recorded delta
+    from otters_tpu import native
+
+    host_path = "C++ native" if native._load() is not None else (
+        "numpy FALLBACK (native lib failed to load — delta not comparable)"
+    )
     chunk_ids = (np.arange(N, dtype=np.int64) // CHUNK).astype(np.int64)
     t0 = time.perf_counter()
     host_m = bloom_ops.build_matrix(
         g1, g2, nulls, chunk_ids, n_chunks, params, chunk_size=CHUNK
     )
     t_host = time.perf_counter() - t0
-    print(f"host/native build_matrix: {t_host:.2f}s")
+    print(f"host build_matrix [{host_path}]: {t_host:.2f}s")
 
     t0 = time.perf_counter()
     dev_m = bloom_ops.build_matrix_device(g1, g2, nulls, CHUNK, n_chunks, params)
     dev_np = np.asarray(dev_m)
     t_dev = time.perf_counter() - t0
-    print(f"device build_matrix_device (incl. first compile): {t_dev:.2f}s")
+    # ADVICE r4: build_matrix_device goes through the persistent AOT
+    # executable cache — on a warm cache this first call measures dispatch,
+    # not compile
+    print(f"device build_matrix_device (first call; compile only if the "
+          f"persistent AOT cache is cold): {t_dev:.2f}s")
 
     # steady-state (compiled) device time
     t0 = time.perf_counter()

@@ -568,3 +568,29 @@ def test_strscan_bytes_cache_lru_single_eviction():
     assert len(strscan._BYTES_CACHE) <= strscan._BYTES_CACHE_CAP
     assert id(hot) in strscan._BYTES_CACHE  # survived every eviction
     strscan._BYTES_CACHE.clear()
+
+
+def test_exact_rerank_zero_norm_query_no_warning():
+    """VERDICT r4 weak-8: a zero-norm query batch row must not emit a
+    divide-by-zero RuntimeWarning on the public rerank path (1/qn was
+    evaluated before np.where masked it), and its cosine is 0 exactly."""
+    import warnings
+
+    from otters_tpu.evaluate import exact_rerank
+    from otters_tpu.types import Metric
+
+    rng = np.random.default_rng(11)
+    host = rng.normal(size=(32, 16)).astype(np.float32)
+    host[5] = 0.0  # zero-norm CANDIDATE row too
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    q[1] = 0.0  # zero-norm query row
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> failure
+        rows, scores = exact_rerank(
+            q, list(range(32)), lambda ids: host[np.asarray(ids)],
+            Metric.Cosine, 4,
+        )
+    assert len(rows) == 4
+    # zero-norm pairs score 0 by the library convention (vec.rs:365-367);
+    # winners must therefore all have positive cosine
+    assert all(s > 0.0 for s in scores)
