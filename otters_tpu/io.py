@@ -144,6 +144,10 @@ def save_meta(store: MetaStore, path: str) -> None:
             if keep_rerank
             else ("fetch" if cfg is not None else None)
         ),
+        # certificate widths that certified for this store: a fresh process
+        # starts at the persisted width instead of re-paying the widen
+        # discovery (wasted full scans per plan shape)
+        "cert_hints": store.cert_hints() or None,
     }
     arrays["manifest"] = np.frombuffer(
         json.dumps(manifest).encode("utf-8"), dtype=np.uint8
@@ -205,6 +209,7 @@ def load_meta(path: str, mesh=None) -> MetaStore:
             deleted = np.flatnonzero(np.asarray(z["deleted"]))
             if deleted.size:
                 store.delete_rows(deleted)
+        store._restore_cert_hints(manifest.get("cert_hints"))
         return store
 
 
@@ -334,6 +339,7 @@ def save_meta_sharded(store, path: str) -> None:
         "row_ranges": ranges,
         "files": files,
         "has_resid": bool(resid_by_start) and not keep_rerank,
+        "cert_hints": store.cert_hints() or None,
         # load merges EXACTLY manifests 0..process_count-1: a re-save from
         # fewer processes must not resurrect a stale higher-numbered
         # manifest left in the directory
@@ -576,6 +582,7 @@ def load_meta_dir(path: str, mesh=None) -> MetaStore:
 
     if deleted.size:
         store.delete_rows(deleted)
+    store._restore_cert_hints(m0.get("cert_hints"))
     return store
 
 

@@ -1165,6 +1165,17 @@ class MetaStore:
     def build_stats(self) -> Optional[MetaBuildStats]:
         return self._build_stats
 
+    def cert_hints(self) -> Dict[str, int]:
+        """Certificate scan-width hints that certified for this store, keyed
+        per plan shape (filter, vec_filter, k). Persisted with the store by
+        ``io.save_meta`` so a fresh process skips the widen discovery (each
+        failed width costs a full wasted scan + rerank)."""
+        return dict(self._cert_kwide_hint)
+
+    def _restore_cert_hints(self, hints) -> None:
+        for key, width in (hints or {}).items():
+            self._cert_kwide_hint[str(key)] = int(width)
+
     # -- mutability (reference roadmap: "add/remove rows after build") -------
     def delete_rows(self, indices) -> None:
         """Tombstone rows in place: deleted rows are never returned.
@@ -2127,13 +2138,17 @@ class MetaQueryPlan:
                     # Keyed per (filter, vec_filter, k): a prune-heavy
                     # filter's wide hint must not widen (and possibly
                     # de-pallas) an unfiltered plan's scans, and vice versa
-                    self._hint_key = (
+                    # the key is a stable STRING so hints can persist with
+                    # the store (io.save_meta manifest) and prime a fresh
+                    # process — re-paying the widen discovery per process
+                    # costs wasted full scans (VERDICT r4 item 7)
+                    self._hint_key = repr((
                         self._meta_filter.clauses
                         if self._meta_filter is not None
                         else None,
                         self._vec_filter,
                         self._take_count,
-                    )
+                    ))
                     hint = store._cert_kwide_hint.get(self._hint_key, 0)
                     k = min(max(k, hint), n_pad)
 

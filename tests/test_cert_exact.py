@@ -565,3 +565,29 @@ def test_mixed_certified_uncertified_resolve_group():
     assert p1._certified is True and p2._certified is None
     assert p3._certified is True
     assert r1.indices == order[:10].tolist()
+
+
+def test_cert_hints_persist_with_store(tmp_path):
+    """VERDICT r4 item 7: a fresh process re-paid the widen discovery (a
+    wasted full scan + rerank per too-narrow width). Hints now persist in
+    the save manifest: the reloaded store starts at the discovered width
+    and certifies without re-widening."""
+    from otters_tpu.io import load_meta, save_meta
+
+    vecs, q, order = _near_tie_vectors()
+    store = _int8_store(vecs)
+    store.query(q[0], Metric.Cosine).take(10, rerank_from=20).collect()
+    w = store.last_query_stats().scan_k_wide
+    assert w > 20 and store.cert_hints()
+
+    p = str(tmp_path / "near_tie.npz")
+    save_meta(store, p)
+    fresh = load_meta(p)
+    assert fresh.cert_hints() == store.cert_hints()
+    res = fresh.query(q[0], Metric.Cosine).take(10, rerank_from=20).collect()
+    st = fresh.last_query_stats()
+    assert st.certified is True
+    assert st.scan_k_wide == w  # started at the hint, no rediscovery
+    assert res.indices == order[:10].tolist()
+    # the hint map is unchanged (nothing re-widened past the hint)
+    assert fresh.cert_hints() == store.cert_hints()
