@@ -554,7 +554,7 @@ def load_meta_dir(path: str, mesh=None) -> MetaStore:
     elif m0.get("rerank") == "fetch":
         store._rerank_config = None  # fetch fns cannot be serialized
 
-    if m0.get("has_resid") and storage == "int8":
+    if m0.get("has_resid") and storage in ("int8", "bfloat16"):
         # the ORIGINAL true-f32 residual bounds (sound vs the source data,
         # not just vs the codes) — restore so a re-attached fetch_vectors
         # source keeps the exactness certificate valid

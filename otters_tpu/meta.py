@@ -407,30 +407,32 @@ def _jit_meta_program():
             rows_eval = chunk_lens.sum(dtype=np.int32)
             rmask = None
 
-        # certification slack for the NON-pallas int8 paths: one global term
-        # (the pallas kernel composes tighter per-bin/per-row terms itself).
-        # Certified scans run MIXED (bf16-rounded queries x int8 rows, see
-        # ops/scoring.bf16_query_unit_resid) — signaled to _score_block by
-        # the bf16 query dtype — so the query-side slack term is bf16
-        # rounding (~2e-3), not int8 quantization (~1e-2).
+        # certification slack for the NON-pallas paths: one global term
+        # (the pallas kernel composes tighter per-query/per-row terms
+        # itself). Certified scans run MIXED (bf16-rounded queries x stored
+        # rows, see ops/scoring.cert_query_coeffs) — signaled to
+        # _score_block by the bf16 query dtype — so the query-side slack
+        # term is bf16 rounding (~2e-3), not int8 quantization (~1e-2).
         cert_slack = None
         thr_core = thr
         q_core = queries
         if certify and tile != "pallas":
-            e_q = scoring.bf16_query_unit_resid(queries)
-            e_q_max = (
-                jnp.max(e_q) if queries.shape[0] else jnp.float32(0.0)
+            d_ = dv.vectors.shape[1]
+            qh32, c0, c1, c2 = scoring.cert_query_coeffs(metric, queries, d_)
+            lane_a, lane_b = scoring.cert_row_lanes(
+                metric, dv.vectors.dtype, dv.resid, dv.inv_norms,
+                dv.norms_sq, d_,
             )
-            cert_slack = (
-                e_q_max
-                + dv.resid_max
-                + jnp.float32(scoring.mixed_cert_eps(dv.vectors.shape[1]))
+            cert_slack = scoring.cert_global_slack(
+                c0, c1, c2, lane_a, lane_b, dv.norms_sq
             )
             if cmp in (Cmp.Gt, Cmp.Gte):
-                # loosen so no truly passing row is dropped on its
-                # quantized score (the rerank re-applies the exact filter)
+                # loosen so no truly passing row is dropped on its scan
+                # score (the rerank re-applies the exact filter)
                 thr_core = thr - cert_slack
-            q_core = queries.astype(jnp.bfloat16)
+            elif cmp in (Cmp.Lt, Cmp.Lte):
+                thr_core = thr + cert_slack
+            q_core = qh32.astype(jnp.bfloat16)
 
         args = (
             dv.vectors,
@@ -499,12 +501,13 @@ def _jit_meta_program():
         else:
             rows, scores, ok = scoring.direct_topk_core(*args, **kwargs)
         if certify:
-            # global-bound certificate: every unreturned candidate's
-            # quantized score <= the k-th returned one (exact global top-k);
-            # with fewer than k valid candidates EVERY passing row was
-            # returned and nothing is unexamined
+            # global-bound certificate: every unreturned candidate's scan
+            # KEY (negated score for take_min) <= the k-th returned one
+            # (exact global top-k); with fewer than k valid candidates
+            # EVERY passing row was returned and nothing is unexamined
+            kth_key = -scores[-1] if take_min else scores[-1]
             bound = jnp.where(
-                ok[-1], scores[-1] + cert_slack, jnp.float32(-jnp.inf)
+                ok[-1], kth_key + cert_slack, jnp.float32(-jnp.inf)
             )
         else:
             bound = jnp.float32(-jnp.inf)
@@ -1225,14 +1228,15 @@ class MetaStore:
         self._dv = self._dv._replace(resid=r, resid_bin=rbin, resid_max=rmax)
 
     def _carry_resid_forward(self, new: "MetaStore") -> None:
-        """int8 append without keep_host_f32: the rebuild re-quantizes the
-        CODES, so the new store's recomputed residuals are only the 1e-6
-        floor — sound versus the codes, but NOT the original-source bounds
-        the certificate/persistence machinery documents. Surviving rows
-        therefore keep their ORIGINAL residuals (>= the floor always);
-        appended rows keep the rebuild's fresh true-source values."""
+        """Quantized append without keep_host_f32: the rebuild re-quantizes
+        the CODES (int8: idempotent; bf16: exact), so the new store's
+        recomputed residuals collapse toward 0 — sound versus the codes,
+        but NOT the original-source bounds the certificate/persistence
+        machinery documents. Surviving rows therefore keep their ORIGINAL
+        residuals (always >= the recomputed ones); appended rows keep the
+        rebuild's fresh true-source values."""
         if (
-            self._storage_dtype != "int8"
+            self._storage_dtype not in ("int8", "bfloat16")
             or self._rerank_config is not None
             or self._dv is None
             or self._dv.resid is None
@@ -1586,6 +1590,9 @@ class MetaStore:
             and tile != "scan_pruned"  # its program returns no bound
             and (tile != "pallas" or dv.resid_bin is not None)
         )
+        # certify and fast are disjoint kernel modes; certify wins (the
+        # stronger guarantee, and its mixed scan already runs at bf16 rate)
+        fast = fast and not certify
         static_kwargs = dict(
             plan_static=plan_static,
             metric=metric,
@@ -1647,17 +1654,32 @@ class MetaStore:
         return compiled(*args)
 
     def _certify_supported(self, metric, take_min, cmp) -> bool:
-        """Can the int8 exactness certificate cover this plan shape?"""
+        """Can the exactness certificate cover this plan shape?
+
+        int8 storage (cosine-only scoring): Cosine + take-max + no/Gt/Gte
+        filter. bfloat16 storage: Cosine and DotProduct (take-max,
+        no/Gt/Gte) AND Euclidean (take-min, no/Lt/Lte) — the generalized
+        residual fold (ops/scoring.cert_query_coeffs) covers all three,
+        matching the reference's exactness across metrics
+        (/root/reference/src/vec_compute.rs:9-54). f32 storage is exact by
+        construction and needs no certificate."""
         import jax.numpy as jnp
 
         dv = self._dv
-        return (
-            dv.vectors.dtype == jnp.int8
-            and dv.resid is not None
-            and metric is Metric.Cosine
-            and not take_min
-            and cmp in (None, Cmp.Gt, Cmp.Gte)
-        )
+        if dv.resid is None:
+            return False
+        if dv.vectors.dtype == jnp.int8:
+            return (
+                metric is Metric.Cosine
+                and not take_min
+                and cmp in (None, Cmp.Gt, Cmp.Gte)
+            )
+        if dv.vectors.dtype == jnp.bfloat16:
+            if metric in (Metric.Cosine, Metric.DotProduct):
+                return not take_min and cmp in (None, Cmp.Gt, Cmp.Gte)
+            if metric is Metric.Euclidean:
+                return take_min and cmp in (None, Cmp.Lt, Cmp.Lte)
+        return False
 
     def _direct_k_ok(self, k: int, b: int) -> bool:
         """Can ``_run_query_program`` run take(k) for a ``b``-query batch?
@@ -1842,16 +1864,18 @@ class MetaQueryPlan:
         ``k_wide`` candidates and the final ``k`` are exact-f32 re-scored
         against the true vectors — recall recovery for bf16/int8 storage.
 
-        ``certify`` controls the int8 exactness certificate (recall 1.0 BY
+        ``certify`` controls the exactness certificate (recall 1.0 BY
         CONSTRUCTION, not by measurement — the reference's core promise,
         README.md:7-14, kept even over quantized storage): the scan also
-        returns a sound upper bound on the true cosine of every row it did
-        NOT hand to the rerank; ``result()`` compares it against the k-th
+        returns a sound bound on the true score of every row it did NOT
+        hand to the rerank; ``result()`` compares it against the k-th
         exact rerank score and, on failure, automatically re-runs with a
         4x-wider candidate set until the certificate passes (the store
-        remembers the working width for later queries). ``None`` (default)
-        auto-enables for int8 + Cosine + rerank with a certifiable filter
-        shape (no vec_filter, or Gt/Gte); False disables (round-3 measured
+        remembers the working width for later queries, and persists it
+        with the store). ``None`` (default) auto-enables for quantized
+        storage + rerank with a certifiable plan shape: int8 + Cosine
+        (no vec_filter or Gt/Gte), bfloat16 + Cosine/DotProduct (same) or
+        Euclidean (no vec_filter or Lt/Lte); False disables (measured
         behavior); True raises if the plan shape cannot be certified.
         ``MetaQueryStats.certified`` / ``scan_k_wide`` report the outcome."""
         self._take_count = int(k)
@@ -2125,10 +2149,11 @@ class MetaQueryPlan:
                             "requires quantize-from-f32 ingest"
                         )
                     raise OttersError(
-                        "take(certify=True): the int8 exactness certificate "
-                        "requires int8 storage quantized from f32 at ingest, "
-                        "the Cosine metric, and no vec_filter (or a Gt/Gte "
-                        "one)"
+                        "take(certify=True): the exactness certificate "
+                        "requires storage quantized from f32 at ingest "
+                        "(int8: Cosine + take-max + no/Gt/Gte vec_filter; "
+                        "bfloat16: also DotProduct, and Euclidean with "
+                        "take-min + no/Lt/Lte vec_filter)"
                     )
                 certify = supported
                 if certify:
@@ -2238,23 +2263,25 @@ def _cert_kwide_cap() -> int:
     return int(os.environ.get("OTTERS_CERT_KWIDE_MAX", "4096"))
 
 
-def _cert_ok(bound, scores, k_final, vec_filter) -> bool:
-    """Host-side int8 certificate decision.
+def _cert_ok(bound, scores, k_final, vec_filter, take_min=False) -> bool:
+    """Host-side certificate decision.
 
-    ``bound``: sound upper bound on the TRUE cosine of every row the scan
-    did not return (-inf when everything passing was returned). ``scores``:
-    exact rerank scores, descending, truncated to ``k_final``. The result
+    ``bound`` is in the KEY space: a sound upper bound on the true score of
+    every unreturned row for take-max metrics, on the NEGATED true distance
+    for take_min (-inf when everything passing was returned). ``scores``:
+    exact rerank scores in take order, truncated to ``k_final``. The result
     is certified-complete iff no unreturned row could enter it:
-      - k results: the k-th exact score must reach the bound. ``bound``
-        carries a strictly positive inflation (resid floor + int8_cert_eps)
-        over any unreturned row's true score, so ``kth >= bound`` implies
+      - k results: the k-th exact KEY must reach the bound. ``bound``
+        carries a strictly positive inflation (arithmetic headroom inside
+        c0) over any unreturned row's true key, so ``kth >= bnd`` implies
         the k-th STRICTLY beats every unreturned row — a tie against the
         bound is still a strict win against the rows it covers;
       - fewer than k results: every unreturned row must provably FAIL the
         score filter (or nothing may be unreturned at all)."""
     bnd = float(bound)
     if len(scores) >= int(k_final):
-        return float(scores[int(k_final) - 1]) >= bnd
+        kth = float(scores[int(k_final) - 1])
+        return (-kth if take_min else kth) >= bnd
     if bnd == float("-inf"):
         return True
     if vec_filter is None:
@@ -2264,6 +2291,13 @@ def _cert_ok(bound, scores, k_final, vec_filter) -> bool:
         return bnd < float(thr)
     if cmp is Cmp.Gt:
         return bnd <= float(thr)
+    if cmp is Cmp.Lte:
+        # bound = -(lower bound on unreturned true distance): every
+        # unreturned row has true >= -bnd, which fails "true <= thr" iff
+        # -bnd > thr
+        return -bnd > float(thr)
+    if cmp is Cmp.Lt:
+        return -bnd >= float(thr)
     return False
 
 
@@ -2470,8 +2504,10 @@ class PendingMetaQuery:
                     # did NOT hand to the rerank; otherwise re-scan 4x wider
                     # (recall 1.0 by construction — see take() docstring)
                     k_used = self._k
+                    take_min = self._take_type is TakeType.Min
                     certified = (not collision_redo) and _cert_ok(
-                        bound, scores, plan._take_count, plan._vec_filter
+                        bound, scores, plan._take_count, plan._vec_filter,
+                        take_min,
                     )
                     n_pad = store._dv.vectors.shape[0]
                     cap = min(n_pad, _cert_kwide_cap())
@@ -2554,7 +2590,8 @@ class PendingMetaQuery:
                             break
                         indices, scores = self._exact_rerank(indices)
                         certified = _cert_ok(
-                            bound, scores, plan._take_count, plan._vec_filter
+                            bound, scores, plan._take_count, plan._vec_filter,
+                            take_min,
                         )
                     self._certified = certified
                     self._scan_k_wide = k_used

@@ -218,15 +218,22 @@ def _kernel(
         if take_min:
             key = -key
         if certify:
-            # fold the PER-ROW quantization residual into the key before
-            # the bin-max reduce: the bin maxima then bound max(score +
-            # resid) per bin directly — strictly tighter than the r4
+            # fold the PER-ROW certificate slack into the key before the
+            # bin-max reduce: the bin maxima then bound max(score + slack)
+            # per bin directly — strictly tighter than the r4
             # max(score) + max(resid) composition — and selecting bins by
             # this adjusted key provably minimizes the resulting bound
             # (the unselected bins are exactly the smallest adjusted
-            # maxima). take_min is excluded from certify (asserted), so
-            # the sign is always +. Masked rows stay -inf.
-            key = key + aux_ref[3, :][None, :]
+            # maxima). The generalized slack is
+            #   c0(q) + c1(q)*lane_a(row) + c2(q)*||v_row|| + lane_b(row)
+            # (scoring.cert_query_coeffs / cert_row_lanes); for take_min
+            # (Euclidean) the key is already negated, so the slack still
+            # ADDS — the bound is then on the negated key, i.e. a lower
+            # bound on the true distance. Masked rows stay -inf.
+            la = aux_ref[3, :][None, :]
+            lb = aux_ref[4, :][None, :]
+            vn = jnp.sqrt(nsq)
+            key = key + _qcol(3) + _qcol(4) * la + _qcol(5) * vn + lb
         for j in range(nb):
             m = jnp.max(key[:, j * BIN : (j + 1) * BIN], axis=1)  # [b_pad]
             if bo > b_pad:  # pad to the 128-lane output block
@@ -300,51 +307,64 @@ def _pallas_topk_jit(
     beats every unselected bin's HIGH max plus C — then no unexamined row
     can belong to the true top-k. On False, callers re-run with fast=False.
 
-    certify=True (int8 Cosine + take-max only): additionally returns a sound
-    upper bound on the TRUE (unquantized f32) cosine of every row NOT in the
-    returned candidate set — callers compare it against the k-th exact
-    rerank score to certify recall 1.0 by construction (see
-    MetaQueryPlan.take(k, rerank_from=...)). The bound composes the
-    quantized bin maxima with per-512-row-bin residual maxima (``resid_bin``,
-    built at quantization time), per-candidate residuals (``resid``) for
-    examined-but-unreturned rows, the query-side residual, and f32
-    arithmetic headroom (scoring.int8_cert_eps). With a Gt/Gte score filter
-    the phase-1 threshold is loosened by the global slack so no truly
-    passing row is excluded by its quantized score.
+    certify=True (quantized storage: int8+Cosine, or bfloat16 with
+    Cosine/Dot take-max / Euclidean take-min): additionally returns a sound
+    bound — in the selection-KEY space, i.e. negated for take_min — on the
+    TRUE f32 score of every row NOT in the returned candidate set. Callers
+    compare it against the k-th exact rerank key to certify recall 1.0 by
+    construction (see MetaQueryPlan.take(k, rerank_from=...)). The scan
+    runs MIXED (bf16-rounded unquantized queries x stored rows) and folds
+    the full per-(query, row) slack
+        c0(q) + c1(q)*lane_a(row) + c2(q)*||v_row|| + lane_b(row)
+    (scoring.cert_query_coeffs / cert_row_lanes; ``resid`` is the stored
+    per-row residual the lanes derive from, with arithmetic headroom inside
+    c0) into the phase-1 bin maxima AND the phase-2 per-row keys, selecting
+    candidates by the adjusted key — which provably minimizes the bound.
+    With a Gt/Gte (or Lt/Lte for take_min) score filter the scan threshold
+    is loosened by the global slack so no truly passing row is excluded by
+    its scan score.
 
     Returns (rows[k], scores[k], valid[k], check, bound).
     """
     n_pad, d = vectors.shape
     b = queries.shape[0]
     int8_mode = vectors.dtype == jnp.int8
-    q_int8 = None
-    e_q = None
-    if certify:
-        assert int8_mode and metric is Metric.Cosine and not take_min
-        assert cmp in (None, Cmp.Gt, Cmp.Gte)
-        assert resid is not None and resid_bin is not None
-        # fast (bf16_3x) and certify (int8) are disjoint modes: the branches
-        # below are mutually exclusive and fast never binds cert_eps
-        assert not fast
     q_kern = None
-    if int8_mode:
-        from .scoring import _quantize_rows_int8, bf16_query_unit_resid
-
-        if certify:
-            # MIXED certified scan: round the queries ONCE to bf16 and keep
-            # them unquantized — the query-side certificate term shrinks
-            # from int8 quantization (~1e-2, half the r4 slack) to bf16
-            # rounding (~2e-3), computed exactly per query below. The MXU
-            # runs bf16-query x int8-row dots (int8 exact in bf16).
-            e_q = bf16_query_unit_resid(queries)  # [b] sound, pre-rounding
-            q_kern = queries.astype(jnp.bfloat16)
-            queries = q_kern.astype(jnp.float32)  # for norms / qaux
+    c0 = c1 = c2 = lane_a = lane_b = None
+    if certify:
+        if int8_mode:
+            assert metric is Metric.Cosine and not take_min
+            assert cmp in (None, Cmp.Gt, Cmp.Gte)
         else:
-            # uncertified quantized-cosine: symmetric int8 queries; both
-            # phases run native int8 x int8 -> int32 MXU dots (exact at
-            # any d)
-            q_kern, _, _ = _quantize_rows_int8(queries)
-            queries = q_kern.astype(jnp.float32)  # for norms / qaux only
+            assert vectors.dtype == jnp.bfloat16
+            if metric is Metric.Euclidean:
+                assert take_min and cmp in (None, Cmp.Lt, Cmp.Lte)
+            else:
+                assert not take_min and cmp in (None, Cmp.Gt, Cmp.Gte)
+        assert resid is not None and resid_bin is not None
+        # fast (bf16_3x) and certify are disjoint modes: the branches below
+        # are mutually exclusive
+        assert not fast
+        # MIXED certified scan: round the queries ONCE to bf16 and keep
+        # them unquantized — the query-side certificate term shrinks from
+        # int8 quantization (~1e-2, half the r4 slack) to bf16 rounding
+        # (~2e-3), folded into c0 exactly per query. The MXU runs
+        # bf16-query x stored-row dots (int8 codes are exact in bf16).
+        from .scoring import cert_query_coeffs, cert_row_lanes
+
+        qh32, c0, c1, c2 = cert_query_coeffs(metric, queries, d)
+        q_kern = qh32.astype(jnp.bfloat16)
+        queries = qh32  # for norms / qaux
+        lane_a, lane_b = cert_row_lanes(
+            metric, vectors.dtype, resid, inv_norms, norms_sq, d
+        )
+    elif int8_mode:
+        # uncertified quantized-cosine: symmetric int8 queries; both
+        # phases run native int8 x int8 -> int32 MXU dots (exact at any d)
+        from .scoring import _quantize_rows_int8
+
+        q_kern, _, _ = _quantize_rows_int8(queries)
+        queries = q_kern.astype(jnp.float32)  # for norms / qaux only
     b_pad = _pad_b(b)
     bo = _round_up(b_pad, LANE)  # output block lane width
     # the tile size is defined by the caller through tile_alive's length
@@ -396,53 +416,60 @@ def _pallas_topk_jit(
         else:
             thr1 = thr
     elif certify:
-        from .scoring import mixed_cert_eps
+        from .scoring import cert_global_slack
 
-        cert_eps = jnp.float32(mixed_cert_eps(d))
-        if q_valid is not None:
-            e_q = jnp.where(q_valid, e_q, 0.0)
-        e_q_max = jnp.max(e_q) if b else jnp.float32(0.0)
         # global slack: covers any (query, row) pair — used ONLY to loosen
-        # the score filter (the bound itself uses per-bin/per-row residuals)
-        slack_g = e_q_max + jnp.max(resid_bin) + cert_eps
+        # the score filter (the bound itself uses the per-query/per-row
+        # fold)
+        slack_g = cert_global_slack(
+            c0, c1, c2, lane_a, lane_b, norms_sq, q_valid=q_valid
+        )
         slack = jnp.float32(0.0)
         prec1 = prec
         if cmp in (Cmp.Gt, Cmp.Gte):
             # no row whose TRUE score passes thr may be dropped by its
-            # quantized score: quantized >= true - slack_g > thr - slack_g
+            # scan score: scan >= true - slack_g > thr - slack_g
             thr1 = thr - slack_g
+        elif cmp in (Cmp.Lt, Cmp.Lte):
+            thr1 = thr + slack_g
         else:
             thr1 = thr
     else:
         slack = jnp.float32(0.0)
         prec1 = prec
         thr1 = thr
-    if int8_mode:
+    if q_kern is not None:
         q_pad = jnp.zeros((b_pad, d), q_kern.dtype).at[:b].set(q_kern)
     else:
         q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
-    qaux = jnp.zeros((4, bo), jnp.float32)
+    nqa = 6 if certify else 4
+    qaux = jnp.zeros((nqa, bo), jnp.float32)
     qaux = qaux.at[0, :b].set(q_inv).at[1, :b].set(q_sq)
     # q_ok lane: padded batch rows AND caller-invalid queries (e.g. batch-
     # axis padding inside shard_map) never contribute candidates
     qaux = qaux.at[2, :b].set(
         1.0 if q_valid is None else q_valid.astype(jnp.float32)
     )
+    if certify:
+        # per-query certificate coefficients ride the qaux tile
+        qaux = qaux.at[3, :b].set(c0).at[4, :b].set(c1).at[5, :b].set(c2)
 
     rmask01 = valid.astype(jnp.float32)
     if row_mask is not None:
         rmask01 = rmask01 * row_mask.astype(jnp.float32)
-    aux = jnp.concatenate(
-        [
-            inv_norms[None, :],
-            norms_sq[None, :],
-            rmask01[None, :],
-            # certify: per-row residuals ride the aux tile so phase 1 can
-            # fold them into the bin max (resid is 0 on padding rows)
-            resid[None, :] if certify else jnp.zeros((1, n_pad), jnp.float32),
-        ],
-        axis=0,
-    )
+    aux_rows = [
+        inv_norms[None, :],
+        norms_sq[None, :],
+        rmask01[None, :],
+    ]
+    if certify:
+        # per-row certificate lanes ride the aux tile so phase 1 can fold
+        # them into the bin max (both are 0 on padding rows)
+        aux_rows += [lane_a[None, :], lane_b[None, :]]
+    else:
+        aux_rows.append(jnp.zeros((1, n_pad), jnp.float32))
+    aux = jnp.concatenate(aux_rows, axis=0)
+    na = aux.shape[0]
 
     # survivor tile list: surv[g] = index of the g-th alive tile, computed
     # with a vectorized binary search over the alive-count cumsum (argsort
@@ -470,8 +497,8 @@ def _pallas_topk_jit(
         in_specs=[
             pl.BlockSpec((b_pad, d), lambda g, s, n, th: (0, 0)),
             pl.BlockSpec((t, d), lambda g, s, n, th: (s[g], 0)),
-            pl.BlockSpec((4, t), lambda g, s, n, th: (0, s[g])),
-            pl.BlockSpec((4, bo), lambda g, s, n, th: (0, 0)),
+            pl.BlockSpec((na, t), lambda g, s, n, th: (0, s[g])),
+            pl.BlockSpec((nqa, bo), lambda g, s, n, th: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, nb, bo),
@@ -521,16 +548,12 @@ def _pallas_topk_jit(
         boundary = jnp.float32(-jnp.inf)
         _, top_slots = exact_topk_flat(flat, kb)
     bound1 = jnp.float32(-jnp.inf)
-    eqp = None
     if certify:
         # phase-1 term of the certificate: the bin maxima already carry the
-        # per-row residual (folded in-kernel), so an unselected bin's max +
-        # the slot's query-side residual bounds the true cosine of any row
-        # it holds: adjmax >= score(r) + resid(r) >= true(r) - e_q - eps.
-        eqp = jnp.zeros((bo,), jnp.float32).at[:b].set(e_q)
-        adj = flat.reshape(n_tiles, nb, bo) + eqp[None, None, :]
-        adjf = adj.reshape(-1).at[top_slots].set(-jnp.inf)
-        bound1 = jnp.max(adjf)
+        # FULL per-(query, row) slack (folded in-kernel), so an unselected
+        # bin's max directly bounds the true score of any row it holds (in
+        # the key space: negated for take_min).
+        bound1 = jnp.max(flat.at[top_slots].set(-jnp.inf))
     gsel = top_slots // (nb * bo)
     jsel = (top_slots // bo) % nb
     qsel = top_slots % bo
@@ -590,7 +613,10 @@ def _pallas_topk_jit(
         if row_mask is not None:
             out = out + (row_mask[rows_flat].reshape(kb, BIN),)
         if certify:
-            out = out + (resid[rows_flat].reshape(kb, BIN),)
+            out = out + (
+                lane_a[rows_flat].reshape(kb, BIN),
+                lane_b[rows_flat].reshape(kb, BIN),
+            )
         return out
 
     def _bin_slices(carry, sq):
@@ -629,7 +655,10 @@ def _pallas_topk_jit(
         if row_mask is not None:
             out = out + (jax.lax.dynamic_slice(row_mask, (s,), (BIN,)),)
         if certify:
-            out = out + (jax.lax.dynamic_slice(resid, (s,), (BIN,)),)
+            out = out + (
+                jax.lax.dynamic_slice(lane_a, (s,), (BIN,)),
+                jax.lax.dynamic_slice(lane_b, (s,), (BIN,)),
+            )
         return carry, out
 
     if kb > PHASE2_SCAN_MAX_BINS:
@@ -659,15 +688,22 @@ def _pallas_topk_jit(
         ok = ok & _filter_ok(scores, thr1 if certify else thr, cmp)
     adj2 = None
     if certify:
-        # select the k candidates by the ADJUSTED key (score + per-row
-        # residual + query residual): the unreturned rows are then exactly
+        # select the k candidates by the ADJUSTED key (scan key + the full
+        # per-(query, row) slack): the unreturned rows are then exactly
         # the smallest adjusted values, which provably minimizes the
         # resulting bound. The rerank re-scores candidates in exact f32, so
         # selection order does not affect result exactness — only how often
         # the certificate passes at a given scan width.
-        resid_rows = sliced[-1]
+        laneA_r, laneB_r = sliced[-2], sliced[-1]
+        vn_r = jnp.sqrt(nsq_rows)
+        c0p = jnp.zeros((bo,), jnp.float32).at[:b].set(c0)[qsel_c][:, None]
+        c1p = jnp.zeros((bo,), jnp.float32).at[:b].set(c1)[qsel_c][:, None]
+        c2p = jnp.zeros((bo,), jnp.float32).at[:b].set(c2)[qsel_c][:, None]
+        base = -scores if take_min else scores
         adj2 = jnp.where(
-            ok, scores + resid_rows + eqp[qsel_c][:, None], -jnp.inf
+            ok,
+            base + c0p + c1p * laneA_r + c2p * vn_r + laneB_r,
+            -jnp.inf,
         )
         key = adj2
     else:
@@ -687,9 +723,13 @@ def _pallas_topk_jit(
         check = jnp.bool_(True)
     if certify:
         # phase-2 term: examined rows NOT returned as candidates, with
-        # their own per-row residuals (tighter than the bin max)
+        # their own per-row slacks (tighter than the bin max). The
+        # arithmetic headroom lives inside c0, so nothing is added here.
+        # The bound is in the KEY space: an upper bound on score-like
+        # metrics, the NEGATED lower bound on the true distance for
+        # take_min (callers compare the k-th exact key against it).
         adj2f = adj2.reshape(-1).at[sel].set(-jnp.inf)
-        bound = jnp.maximum(bound1, jnp.max(adj2f)) + cert_eps
+        bound = jnp.maximum(bound1, jnp.max(adj2f))
     else:
         bound = jnp.float32(-jnp.inf)
     return out_rows, out_scores, out_ok, check, bound

@@ -93,10 +93,25 @@ def materialize(vectors_np: np.ndarray, dtype=jnp.float32) -> DeviceVecs:
     host[:n] = vectors_np
     if dtype == jnp.int8:
         return _materialize_int8(jnp.asarray(host), n)
+    if dtype == jnp.bfloat16:
+        return _materialize_bf16(jnp.asarray(host), n)
     vecs = jnp.asarray(host, dtype=dtype)
     valid = jnp.arange(n_pad, dtype=jnp.int32) < n
     norms_sq, inv_norms = _device_norms(vecs)
     return DeviceVecs(vecs, norms_sq, inv_norms, valid)
+
+
+def _materialize_bf16(vecs_f32: jax.Array, n_valid: int) -> DeviceVecs:
+    """bfloat16 storage with per-row ABSOLUTE rounding residuals attached:
+    2x less HBM than f32, and the exactness certificate covers Cosine, Dot
+    AND Euclidean on it (resid = ||v - bf16(v)||; see cert_row_lanes)."""
+    n_pad = vecs_f32.shape[0]
+    vecs = vecs_f32.astype(jnp.bfloat16)
+    valid = jnp.arange(n_pad, dtype=jnp.int32) < n_valid
+    norms_sq, inv_norms = _device_norms(vecs)
+    resid = jnp.where(valid, bf16_abs_resid(vecs_f32), 0.0)
+    rbin, rmax = finalize_resid(resid)
+    return DeviceVecs(vecs, norms_sq, inv_norms, valid, resid, rbin, rmax)
 
 
 def _materialize_int8(vecs_f32: jax.Array, n_valid: int) -> DeviceVecs:
@@ -229,6 +244,133 @@ def mixed_cert_eps(d: int) -> float:
     return 4.0 * d * 2.0**-24 + 4.0e-6
 
 
+def bf16_abs_resid(vecs_f32):
+    """[N] sound per-row bounds on ||v - bf16(v)|| (ABSOLUTE residual).
+
+    v - bf16(v) is EXACT in f32 per element (the two values are within a
+    factor of 2, Sterbenz); the sum-of-squares accumulates gamma_d
+    relative error, covered by the inflation. Rows exactly representable
+    in bf16 get a true 0 (zero slack is legitimate there)."""
+    v32 = vecs_f32.astype(jnp.float32)
+    vb = v32.astype(jnp.bfloat16).astype(jnp.float32)
+    u = v32 - vb
+    r = jnp.sqrt(jnp.sum(u * u, axis=1))
+    d = v32.shape[1]
+    return r * jnp.float32(1.0 + max(1e-4, 4.0 * d * 2.0**-24))
+
+
+def bf16_query_abs(queries):
+    """-> (qh32, e_qa[B], hq[B]): the bf16-rounded queries (as f32), a sound
+    bound on ||q - qh|| per query, and ||qh|| per query — the query-side
+    ingredients of the Dot/Euclidean certificate coefficients."""
+    q32 = jnp.asarray(queries, dtype=jnp.float32)
+    qh32 = q32.astype(jnp.bfloat16).astype(jnp.float32)
+    u = q32 - qh32  # exact per element (within a factor of 2)
+    d = q32.shape[1]
+    infl = jnp.float32(1.0 + max(1e-4, 4.0 * d * 2.0**-24))
+    e_qa = jnp.sqrt(jnp.sum(u * u, axis=1)) * infl
+    hq = jnp.sqrt(jnp.sum(qh32 * qh32, axis=1)) * infl
+    return qh32, e_qa, hq
+
+
+def cert_query_coeffs(metric: Metric, queries, d: int):
+    """Per-query coefficients of the generalized certificate fold.
+
+    The certified scan bounds every row's TRUE score s_true by its scan
+    score plus a slack of the uniform shape
+
+        slack(q, row) = c0(q) + c1(q)*lane_a(row) + c2(q)*vnorm(row)
+                        + lane_b(row)
+
+    (for Euclidean, a LOWER bound: the fold happens in the negated key
+    space where the slack still adds positively). Returns
+    (qh32, c0[B], c1[B], c2[B]); the row lanes come from cert_row_lanes.
+
+    Derivations (q = qh + dq with ||dq|| <= e_qa; v = vs + dv with
+    ||dv|| <= lane_a, vs the stored row, vnorm = ||vs||):
+
+    Cosine   |cos(q,v) - cos(qh,vs)| <= e_unit(q) + unit_resid(row):
+             c0 = e_unit + eps_arith, c1 = 1, c2 = 0.
+    Dot      |q.v - qh.vs| <= ||qh||*||dv|| + ||dq||*||vs|| + ||dq||*||dv||
+             (+ f32 accumulation ~ kd*||qh||*vnorm on both scan and rerank
+             sides, and kd*||qh||*lane_a for the rerank's ||v|| excess):
+             c0 = 0, c1 = (hq + e_qa) + kd*hq, c2 = e_qa + kd*(hq + e_qa).
+    Euclid   |(||q||^2 + ||v||^2 - 2 q.v) - scan| <=
+             e_qa*(2hq + e_qa)  [query-norm correction -> c0]
+             + 2*vnorm*lane_a + lane_a^2 + kd*nsq  [row-norm -> lane_b]
+             + 2*(dot terms)   [-> c1, c2 doubled]
+             + kd*hq^2         [q_sq arithmetic -> c0].
+    """
+    if metric is Metric.Cosine:
+        e_q = bf16_query_unit_resid(queries)
+        qh32 = (
+            jnp.asarray(queries, jnp.float32)
+            .astype(jnp.bfloat16)
+            .astype(jnp.float32)
+        )
+        c0 = e_q + jnp.float32(mixed_cert_eps(d))
+        c1 = jnp.ones_like(c0)
+        c2 = jnp.zeros_like(c0)
+        return qh32, c0, c1, c2
+    qh32, e_qa, hq = bf16_query_abs(queries)
+    kd = jnp.float32(4.0 * (d + 8) * 2.0**-24)
+    m = jnp.float32(1.0 + 1e-6)
+    c1 = (hq + e_qa) * m + kd * hq
+    c2 = e_qa * m + kd * (hq + e_qa)
+    if metric is Metric.DotProduct:
+        c0 = jnp.zeros_like(hq)
+        return qh32, c0, c1, c2
+    if metric is Metric.Euclidean:
+        c0 = (e_qa * (2.0 * hq + e_qa)) * m + kd * hq * hq
+        return qh32, c0, 2.0 * c1, 2.0 * c2
+    raise OttersError(f"certificate does not support metric {metric}")
+
+
+def cert_row_lanes(
+    metric: Metric, storage_dtype, resid, inv_norms, norms_sq, d: int
+):
+    """-> (lane_a[N], lane_b[N]) per-row lanes of the certificate fold.
+
+    ``resid`` is the stored per-row residual: the UNIT-vector residual for
+    int8 storage (cosine-only), the ABSOLUTE residual ||v - bf16(v)|| for
+    bfloat16 storage. Padding rows carry resid = 0 and norms_sq = 0, so
+    both lanes vanish there."""
+    if metric is Metric.Cosine:
+        if storage_dtype == jnp.int8:
+            lane_a = resid  # already a unit residual
+        else:
+            # ||a/||a|| - b/||b|||| <= 2 ||a - b|| / max(||a||,||b||)
+            lane_a = 2.0 * resid * inv_norms * jnp.float32(1.0 + 1e-5)
+        return lane_a, jnp.zeros_like(lane_a)
+    if metric is Metric.DotProduct:
+        return resid, jnp.zeros_like(resid)
+    if metric is Metric.Euclidean:
+        kd = jnp.float32(4.0 * (d + 8) * 2.0**-24)
+        vn = jnp.sqrt(norms_sq)
+        lane_b = (2.0 * vn * resid + resid * resid) * jnp.float32(
+            1.0 + 1e-6
+        ) + kd * norms_sq
+        return resid, lane_b
+    raise OttersError(f"certificate does not support metric {metric}")
+
+
+def cert_global_slack(c0, c1, c2, lane_a, lane_b, norms_sq, q_valid=None):
+    """Scalar >= slack(q, row) over every valid (q, row) pair — used to
+    loosen the score filter so no truly passing row is dropped on its scan
+    score, and as the global term of the non-pallas/core certificates."""
+    if q_valid is not None:
+        c0 = jnp.where(q_valid, c0, 0.0)
+        c1 = jnp.where(q_valid, c1, 0.0)
+        c2 = jnp.where(q_valid, c2, 0.0)
+    vn_max = jnp.sqrt(jnp.max(norms_sq))
+    return (
+        jnp.max(c0)
+        + jnp.max(c1) * jnp.max(lane_a)
+        + jnp.max(c2) * vn_max
+        + jnp.max(lane_b)
+    )
+
+
 def materialize_from_device(
     vecs: jax.Array, n_valid: Optional[int] = None, dtype=None
 ) -> DeviceVecs:
@@ -243,6 +385,12 @@ def materialize_from_device(
         if n_pad != n:
             vecs = jnp.pad(vecs.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
         return _materialize_int8(
+            vecs.astype(jnp.float32), n if n_valid is None else n_valid
+        )
+    if dtype == jnp.bfloat16 and vecs.dtype != jnp.bfloat16:
+        if n_pad != n:
+            vecs = jnp.pad(vecs.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+        return _materialize_bf16(
             vecs.astype(jnp.float32), n if n_valid is None else n_valid
         )
     if dtype is not None and vecs.dtype != dtype:
@@ -308,6 +456,12 @@ def _f32_ingest_slab(buf, slab, start):
     return jax.lax.dynamic_update_slice(buf, slab, (start, 0))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _resid_ingest_slab(buf, slab_resid, start):
+    """Donated in-place write of one slab's per-row residual bounds."""
+    return jax.lax.dynamic_update_slice(buf, slab_resid, (start,))
+
+
 def materialize_f32_slabs(slab_fn, n: int, d: int, slab_rows: int) -> DeviceVecs:
     """Build an f32 DeviceVecs slab-by-slab with donated in-place writes.
 
@@ -369,6 +523,28 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
     euclid   = ||q||^2 + ||v||^2 - 2 q . v     (squared, vec_compute.rs:35-54)
     dot      = q . v
     """
+    if queries.dtype == jnp.bfloat16 and metric not in VPU_METRICS:
+        # MIXED certified scan: bf16-rounded queries x stored rows (int8
+        # codes are exact in bf16; bf16 storage is native), f32
+        # accumulation. No query quantization residual — the certificate's
+        # query-side term shrinks to bf16 rounding (see
+        # bf16_query_unit_resid / bf16_query_abs). Callers signal the mode
+        # by handing the queries in bfloat16.
+        qh32 = queries.astype(jnp.float32)
+        dots = jax.lax.dot_general(
+            queries,
+            vecs.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric is Metric.DotProduct:
+            return dots
+        if metric is Metric.Cosine:
+            qn = jnp.sqrt(jnp.sum(qh32 * qh32, axis=1))
+            qih = jnp.where(qn != 0.0, 1.0 / qn, 0.0)
+            return dots * qih[:, None] * v_inv[None, :]
+        qn2 = jnp.sum(qh32 * qh32, axis=1)
+        return qn2[:, None] + v_sq[None, :] - 2.0 * dots
     if vecs.dtype == jnp.int8:
         # backstop guard (also enforced with friendlier errors upstream in
         # run_vec_topk / MetaStore._run_query_program; this one catches any
@@ -377,22 +553,6 @@ def _score_block(queries, q_inv, q_sq, vecs, v_inv, v_sq, metric: Metric, prec: 
             raise OttersError(
                 "int8 quantized storage supports the Cosine metric only"
             )
-        if queries.dtype == jnp.bfloat16:
-            # MIXED certified scan: bf16-rounded queries x int8 rows (exact
-            # in bf16), f32 accumulation. No query quantization residual —
-            # the certificate's query-side term shrinks to bf16 rounding
-            # (see bf16_query_unit_resid). Callers signal the mode by
-            # handing the queries in bfloat16.
-            qh32 = queries.astype(jnp.float32)
-            qn = jnp.sqrt(jnp.sum(qh32 * qh32, axis=1))
-            qih = jnp.where(qn != 0.0, 1.0 / qn, 0.0)
-            dots = jax.lax.dot_general(
-                queries,
-                vecs.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return dots * qih[:, None] * v_inv[None, :]
         # quantized cosine: quantize the queries symmetrically per row and
         # run the int8 MXU path; per-row scales cancel under normalization
         q8, _, q_inv8 = _quantize_rows_int8(queries)

@@ -107,27 +107,44 @@ def _jit_sharded_program():
             if certify:
                 from ..types import Cmp as _Cmp
 
-                # MIXED certified scan (see ops/scoring.bf16_query_unit_
-                # resid): bf16-rounded queries x int8 rows; the XLA cores
-                # below dispatch on the bf16 query dtype, the pallas kernel
+                # MIXED certified scan (see ops/scoring.cert_query_coeffs):
+                # bf16-rounded queries x stored rows; the XLA cores below
+                # dispatch on the bf16 query dtype, the pallas kernel
                 # rounds internally from the f32 queries it receives.
-                e_q = scoring.bf16_query_unit_resid(q_l)
-                e_q = jnp.where(qv_l, e_q, 0.0)
-                e_q_max = jax.lax.pmax(
-                    jnp.max(e_q) if b_local else jnp.float32(0.0), axes
+                # Sharded slack composition: the per-query coefficient
+                # maxima (batch axis) and per-row lane maxima (rows axis)
+                # are each pmax'd over the WHOLE mesh before composing, so
+                # slack_g covers every (query, row) pair any device scanned
+                # — max of a sum <= sum of the maxes.
+                d_l = dv_l.vectors.shape[1]
+                qh32, c0, c1, c2 = scoring.cert_query_coeffs(
+                    metric, q_l, d_l
                 )
+                lane_a, lane_b = scoring.cert_row_lanes(
+                    metric, dv_l.vectors.dtype, dv_l.resid, dv_l.inv_norms,
+                    dv_l.norms_sq, d_l,
+                )
+                c0 = jnp.where(qv_l, c0, 0.0)
+                c1 = jnp.where(qv_l, c1, 0.0)
+                c2 = jnp.where(qv_l, c2, 0.0)
+
+                def _gmax(x):
+                    m = jnp.max(x) if x.shape[0] else jnp.float32(0.0)
+                    return jax.lax.pmax(m, axes)
+
                 slack_g = (
-                    e_q_max
-                    + dv_l.resid_max
-                    + jnp.float32(
-                        scoring.mixed_cert_eps(dv_l.vectors.shape[1])
-                    )
+                    _gmax(c0)
+                    + _gmax(c1) * _gmax(lane_a)
+                    + _gmax(c2) * jnp.sqrt(_gmax(dv_l.norms_sq))
+                    + _gmax(lane_b)
                 )
                 if cmp in (_Cmp.Gt, _Cmp.Gte):
                     # same loosening as the single-device program: no truly
-                    # passing row may be dropped on its quantized score
+                    # passing row may be dropped on its scan score
                     thr_core = thr_l - slack_g
-                q_core = q_l.astype(jnp.bfloat16)
+                elif cmp in (_Cmp.Lt, _Cmp.Lte):
+                    thr_core = thr_l + slack_g
+                q_core = qh32.astype(jnp.bfloat16)
             args = (
                 dv_l.vectors,
                 dv_l.norms_sq,
@@ -194,7 +211,7 @@ def _jit_sharded_program():
                     *args, q_valid=qv_l, **kwargs
                 )
                 check = jnp.bool_(True)
-                bound_l = _core_bound(scores, ok, slack_g) if certify else (
+                bound_l = _core_bound(scores, ok, slack_g, take_min) if certify else (
                     jnp.float32(-jnp.inf)
                 )
             else:
@@ -202,7 +219,7 @@ def _jit_sharded_program():
                     *args, q_valid=qv_l, **kwargs
                 )
                 check = jnp.bool_(True)
-                bound_l = _core_bound(scores, ok, slack_g) if certify else (
+                bound_l = _core_bound(scores, ok, slack_g, take_min) if certify else (
                     jnp.float32(-jnp.inf)
                 )
             rows = rows + jax.lax.axis_index("rows") * n_local
@@ -224,9 +241,12 @@ def _jit_sharded_program():
 
             if certify:
                 merged_kth_ok = ok_g[sel][-1]
+                kth_key = scores_g[sel][-1]
+                if take_min:
+                    kth_key = -kth_key  # bound lives in the KEY space
                 bound_merged = jnp.where(
                     merged_kth_ok,
-                    scores_g[sel][-1] + slack_g,
+                    kth_key + slack_g,
                     jnp.float32(-jnp.inf),
                 )
                 bound_g = jnp.maximum(
@@ -290,14 +310,15 @@ def _jit_sharded_program():
     return sharded_meta_query
 
 
-def _core_bound(scores, ok, slack_g):
-    """Local certificate bound for the XLA core paths: the k-th local
-    quantized score + global slack covers every local row not returned
-    (exact local top-k); an invalid k-th slot means EVERY passing local row
-    was returned and nothing local is unexamined."""
+def _core_bound(scores, ok, slack_g, take_min=False):
+    """Local certificate bound for the XLA core paths: the k-th local scan
+    KEY (negated score for take_min) + global slack covers every local row
+    not returned (exact local top-k); an invalid k-th slot means EVERY
+    passing local row was returned and nothing local is unexamined."""
     import jax.numpy as jnp
 
-    return jnp.where(ok[-1], scores[-1] + slack_g, jnp.float32(-jnp.inf))
+    kth = -scores[-1] if take_min else scores[-1]
+    return jnp.where(ok[-1], kth + slack_g, jnp.float32(-jnp.inf))
 
 
 _sharded_meta_query = _jit_sharded_program()
@@ -708,6 +729,8 @@ class ShardedMetaStore(MetaStore):
             and tile != "scan_pruned"
             and (tile != "pallas" or self._dv.resid_bin is not None)
         )
+        # disjoint kernel modes; certify wins (the stronger guarantee)
+        fast = fast and not certify
         static_kwargs = dict(
             mesh=self.mesh,
             plan_static=plan_static,
@@ -1218,13 +1241,22 @@ def materialize_f32_slabs_sharded(
     import jax.numpy as jnp
 
     dtype = jnp.float32 if dtype is None else dtype
+    bf16 = dtype == jnp.bfloat16
     n_shards = mesh.shape["rows"]
     n_pad_s, _, _ = sharded_geometry(n, chunk_size, n_shards)
     buf = _sharded_zeros(mesh, (n_pad_s, d), dtype)
+    # bf16 storage: per-row ABSOLUTE rounding residuals computed slab-wise
+    # (the f32 source exists only inside this loop) — they power the
+    # Cosine/Dot/Euclidean exactness certificate (scoring.cert_row_lanes)
+    resid = _sharded_zeros(mesh, (n_pad_s,), jnp.float32) if bf16 else None
     slab_rows = min(slab_rows, n_pad_s)
     for start in range(0, n_pad_s, slab_rows):
         rows = min(slab_rows, n_pad_s - start)
         slab = jnp.asarray(slab_fn(start, rows), dtype=jnp.float32)
+        if bf16:
+            resid = scoring._resid_ingest_slab(
+                resid, scoring.bf16_abs_resid(slab), jnp.int32(start)
+            )
         # reuse the module-level donated-update jit (a per-call jit would
         # retrace + recompile EVERY slab)
         buf = scoring._f32_ingest_slab(
@@ -1240,6 +1272,10 @@ def materialize_f32_slabs_sharded(
         mesh, ("valid", n_pad_s, n),
         lambda: jnp.arange(n_pad_s, dtype=jnp.int32) < n,
     )
+    if bf16:
+        resid = jax.device_put(resid, _row_sharding(mesh))
+        resid, rbin, rmax = _sharded_resid_finalize(mesh, resid, valid)
+        return scoring.DeviceVecs(buf, nsq, invn, valid, resid, rbin, rmax)
     return scoring.DeviceVecs(buf, nsq, invn, valid)
 
 
@@ -1508,12 +1544,23 @@ def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
                 mesh, ("quant8r", n_pad_s, dim), _quant, placed
             )
             vecs_dev = v8
+        elif b._storage_dtype == "bfloat16":
+
+            def _castb(v):
+                vv = v.astype(jnp.bfloat16)
+                nsq, invn = scoring._device_norms(vv)
+                # absolute rounding residuals: the bf16 exactness
+                # certificate's per-row term (scoring.cert_row_lanes)
+                return vv, nsq, invn, scoring.bf16_abs_resid(v)
+
+            vecs_dev, nsq, invn, resid8 = _sharded_call(
+                mesh, ("castb", n_pad_s, dim), _castb, placed
+            )
         else:
             resid8 = None
-            tgt = jnp.bfloat16 if b._storage_dtype == "bfloat16" else jnp.float32
 
             def _caststats(v):
-                vv = v.astype(tgt)
+                vv = v.astype(jnp.float32)
                 nsq, invn = scoring._device_norms(vv)
                 return vv, nsq, invn
 
