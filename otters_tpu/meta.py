@@ -1724,6 +1724,7 @@ class MetaStore:
         with_vec_filter: bool = False,
         rerank_from: Optional[int] = None,
         pipeline_depths=(1,),
+        cert_widths: bool = True,
     ) -> int:
         """Ready (compile or AOT-load) the device programs a deployment
         serves, off the query path. ``filters`` is a list of expressions
@@ -1736,7 +1737,13 @@ class MetaStore:
         widened scan AND the batched device rerank program) for each
         pipeline depth in ``pipeline_depths`` — resolve() groups that many
         in-flight queries, and each distinct group size is its own compiled
-        shape."""
+        shape.
+
+        ``cert_widths`` (default True, no-op when the certificate does not
+        apply) ALSO readies the certificate's widen-ladder programs
+        (4x steps from ``rerank_from``, clamped at the fused-kernel
+        boundary) so an adversarial query that fails its first certificate
+        widens without paying a mid-serving compile."""
         count = self._precompile_rerank(
             filters, batch_sizes, k, metric, rerank_from, pipeline_depths
         )
@@ -1775,6 +1782,31 @@ class MetaStore:
 
                     jax.block_until_ready(compiled(*args))
                     count += 1
+                if (
+                    cert_widths
+                    and rerank_from is not None
+                    and self._certify_supported(metric, take_min, None)
+                ):
+                    # certificate widen-ladder programs (compile-only): the
+                    # same width sequence result() dispatches on a failed
+                    # certificate, clamped exactly like the widen loop
+                    w = int(rerank_from)
+                    cap = min(
+                        self._dv.vectors.shape[0], _cert_kwide_cap()
+                    )
+                    while w < cap:
+                        nxt = min(max(w * 4, w + 1), cap)
+                        if w < _PALLAS_K_MAX < nxt:
+                            nxt = _PALLAS_K_MAX
+                        if not self._direct_k_ok(nxt, int(b)):
+                            break
+                        self._prepare_program(
+                            cols_sub, plan._queries, plan_params, 0.0,
+                            plan_static, metric, nxt, take_min, None,
+                            certify=True,
+                        )
+                        count += 1
+                        w = nxt
         return count
 
     def _precompile_rerank(
@@ -1789,6 +1821,8 @@ class MetaStore:
                 "precompile(rerank_from=...) requires with_rerank_source on "
                 "the builder"
             )
+        import warnings
+
         count = 0
         for expr in filters if filters is not None else [None]:
             for b in batch_sizes:
@@ -1803,7 +1837,16 @@ class MetaStore:
                             if plan._meta_error is not None:
                                 raise OttersError(plan._meta_error)
                         pend.append(plan.collect_async())
-                    resolve(pend)
+                    with warnings.catch_warnings():
+                        # the zero-query warm batch can never certify (its
+                        # exact scores are all 0, below any positive
+                        # slack); its cap warning is noise — and the widen
+                        # attempts it triggers warm the ladder programs,
+                        # which is exactly what precompile is for
+                        warnings.filterwarnings(
+                            "ignore", message=".*certificate did not pass.*"
+                        )
+                        resolve(pend)
                     count += int(depth)
         return count
 
