@@ -2239,7 +2239,7 @@ class MetaQueryPlan:
                 )
             else:
 
-                def run(strict=False, k_run=k):
+                def run(strict=False, k_run=k, certify=None):
                     return store._run_query_program(
                         cols_sub,
                         queries,
@@ -2251,10 +2251,31 @@ class MetaQueryPlan:
                         (take_type is TakeType.Min),
                         None if thr is None else cmp,
                         strict=strict,
-                        certify=certify,
+                        certify=_certify if certify is None else certify,
                     )
 
-                raw = run()
+                _certify = certify
+                try:
+                    raw = run()
+                except Exception:
+                    if not certify or self._certify is True:
+                        raise
+                    # auto-certify safety net: a certified program that
+                    # fails to COMPILE (backend-specific Mosaic lowering,
+                    # lane-array memory) must not take serving down — fall
+                    # back to the measured-recall scan and report honestly
+                    # (stats.certified stays None)
+                    import warnings
+
+                    warnings.warn(
+                        "certified scan program failed to build; serving "
+                        "this query uncertified (recall measured, not "
+                        "certified). take(certify=True) surfaces the "
+                        "underlying error instead.",
+                        stacklevel=2,
+                    )
+                    _certify = certify = False
+                    raw = run()
                 strict_redo = partial(run, strict=True)
                 rerun_widened = run if certify else None
         p = PendingMetaQuery(
@@ -2582,7 +2603,15 @@ class PendingMetaQuery:
                                 break  # already at the widest eligible scan
                             nxt = cap = lo  # final attempt, then exit
                         k_used = nxt
-                        raw2 = self._rerun_widened(k_run=k_used)
+                        try:
+                            raw2 = self._rerun_widened(k_run=k_used)
+                        except Exception:
+                            # a wider program failed to build (fresh width =
+                            # fresh compile): keep the current exact-rerank
+                            # result, report uncertified — never take
+                            # serving down mid-widen
+                            certified = False
+                            break
                         rows, scrs, valid, _, bound, ev, re_ = jax.device_get(
                             raw2
                         )

@@ -175,20 +175,6 @@ def _quantize_rows_int8_resid(vecs):
 
 
 @jax.jit
-def query_unit_resid(queries):
-    """[B] sound bounds on the query-side quantization residual.
-
-    Must quantize EXACTLY like the scoring paths (_score_block /
-    _pallas_topk_jit) so the bound covers the codes actually dispatched:
-    same jitted arithmetic on the same backend is deterministic."""
-    q32 = jnp.asarray(queries, dtype=jnp.float32)
-    q8, _, qi8 = _quantize_rows_int8(q32)
-    nq = jnp.sqrt(jnp.sum(q32 * q32, axis=1))
-    inv_q = jnp.where(nq != 0.0, 1.0 / nq, 0.0)
-    return unit_resid(q32, q8.astype(jnp.float32), inv_q, qi8)
-
-
-@jax.jit
 def bf16_query_unit_resid(queries):
     """[B] sound bounds on the bf16-ROUNDED query residual (mixed scan).
 
@@ -220,27 +206,16 @@ def finalize_resid(resid):
     return rbin, rmax
 
 
-def int8_cert_eps(d: int) -> float:
-    """Arithmetic headroom added to the int8 certificate bound.
-
-    Covers (a) the f32 rounding of the quantized cosine (int32 dot exact for
-    d*127^2 < 2^24-scale magnitudes; two inv-norm multiplies ~ 4 ulp of a
-    score <= 1) and (b) the gap between the mathematical cosine the residual
-    bound speaks about and the f32-HIGHEST rerank arithmetic the certificate
-    compares against, on both sides: ~2 * gamma_d, gamma_d ~= d * 2^-24."""
-    return 2.0 * d * 2.0**-24 + 2.0e-6
-
-
 def mixed_cert_eps(d: int) -> float:
     """Arithmetic headroom for the MIXED certified scan (bf16 queries x
-    int8 rows, f32 accumulation).
+    int8/bf16 rows, f32 accumulation).
 
     bf16 x bf16 products are exact in f32 (8+8 significand bits < 24); the
     MXU accumulates in f32 with forward error <= gamma_d * ||q||*||v||
     (gamma_d ~= d * 2^-24, any accumulation order), the two inv-norm
     multiplies cost ~4 ulp of a score <= 1, and the f32-computed inverse
-    norms carry ~gamma_d relative error each. Doubled again for the rerank
-    side the certificate compares against (same as int8_cert_eps's (b))."""
+    norms carry ~gamma_d relative error each. Doubled again for the
+    f32-HIGHEST rerank arithmetic the certificate compares against."""
     return 4.0 * d * 2.0**-24 + 4.0e-6
 
 
