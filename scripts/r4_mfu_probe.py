@@ -14,7 +14,8 @@ Answers, in order (VERDICT round-3 item 2 says *check the wall first*):
       pipeline, 16 batches), on synthetic gaussian data.
 
 Timing discipline: the axon tunnel makes block_until_ready a no-op — every
-measurement uses N dependent iterations via lax.fori_loop + ONE value fetch
+measurement uses N dependent iterations (host-chained jit calls; fori_loop
+around a big matmul hangs the axon remote compiler) + ONE value fetch
 (see scripts/README.md).
 """
 
@@ -31,16 +32,23 @@ B = 256
 
 
 def timed_loop(fn, state, iters=8, label=""):
-    """N dependent applications of fn + one scalar fetch -> seconds/iter."""
+    """N dependent applications of fn + one scalar fetch -> seconds/iter.
 
-    @jax.jit
-    def run(s):
-        return lax.fori_loop(0, iters, lambda i, c: fn(c), s)
+    Dependent chaining is done on the HOST (each jitted call consumes the
+    previous call's output) rather than with ``lax.fori_loop``: on the axon
+    backend, compiling a fori_loop whose body holds a 1M-row matmul hangs
+    the remote compiler indefinitely (reproduced 2026-08-19; plain jit of
+    the same body compiles in ~1 s). Dispatch is async, so the chain still
+    serializes on the device and ONE final fetch bounds the wall time.
+    """
 
-    out = run(state)
+    step = jax.jit(fn)
+    out = step(state)
     _sync(out)  # compile + warm
     t0 = time.perf_counter()
-    out = run(state)
+    out = state
+    for _ in range(iters):
+        out = step(out)
     _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"  {label}: {dt * 1e3:.2f} ms/iter")
