@@ -317,10 +317,19 @@ def _build_device_column(
 
         import jax as _jax
 
-        use_device = bloom_ops.device_build_ok(params, n_chunks) and (
-            _jax.devices()[0].platform == "tpu"
-            or os.environ.get("OTTERS_BLOOM_DEVICE")
-        )
+        # OTTERS_BLOOM_DEVICE: unset = device scatter on TPU only;
+        # "0"/"false"/"" = force host build (bisect knob); anything else
+        # = force device build even off-TPU (parity tests)
+        _env = os.environ.get("OTTERS_BLOOM_DEVICE")
+        if _env is not None:
+            use_device = bloom_ops.device_build_ok(
+                params, n_chunks
+            ) and _env.lower() not in ("0", "false", "")
+        else:
+            use_device = (
+                bloom_ops.device_build_ok(params, n_chunks)
+                and _jax.devices()[0].platform == "tpu"
+            )
         if use_device:
             # TPU path: the bit scatter runs on device from the pre-hashed
             # (g1, g2) arrays — host work is hashing only (SURVEY C10)

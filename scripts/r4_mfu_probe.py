@@ -31,7 +31,7 @@ D = 768
 B = 256
 
 
-def timed_loop(fn, state, iters=8, label=""):
+def timed_loop(fn, state, consts=(), iters=8, label=""):
     """N dependent applications of fn + one scalar fetch -> seconds/iter.
 
     Dependent chaining is done on the HOST (each jitted call consumes the
@@ -40,15 +40,20 @@ def timed_loop(fn, state, iters=8, label=""):
     the remote compiler indefinitely (reproduced 2026-08-19; plain jit of
     the same body compiles in ~1 s). Dispatch is async, so the chain still
     serializes on the device and ONE final fetch bounds the wall time.
+
+    ``consts`` is a pytree of device arrays passed as a jit ARGUMENT:
+    closing over multi-GB jax Arrays bakes them into the lowered module as
+    constants, and shipping a 7.7 GB module hangs the axon remote compiler
+    (reproduced 2026-08-19 on P1; same root cause as the P0 hang).
     """
 
     step = jax.jit(fn)
-    out = step(state)
+    out = step(state, consts)
     _sync(out)  # compile + warm
     t0 = time.perf_counter()
     out = state
     for _ in range(iters):
-        out = step(out)
+        out = step(out, consts)
     _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"  {label}: {dt * 1e3:.2f} ms/iter")
@@ -67,7 +72,8 @@ def p0_int8_rate():
     v8 = jax.random.randint(key, (n, D), -127, 128, dtype=jnp.int8)
     q8 = jax.random.randint(key, (B, D), -127, 128, dtype=jnp.int8)
 
-    def xla_dot(c):
+    def xla_dot(c, consts):
+        q8, v8 = consts
         s = lax.dot_general(
             q8, v8,
             (((1,), (1,)), ((), ())),
@@ -75,11 +81,14 @@ def p0_int8_rate():
         )
         return jnp.max(s, axis=1).astype(jnp.int32) + c
 
-    dt = timed_loop(xla_dot, jnp.zeros((B,), jnp.int32), label="XLA int8 dot 1M")
+    dt = timed_loop(
+        xla_dot, jnp.zeros((B,), jnp.int32), (q8, v8), label="XLA int8 dot 1M"
+    )
     tops = 2 * n * D * B / dt / 1e12
     print(f"  -> {tops:.1f} TOPS (v5e bf16 peak ~197, int8 2x mode ~394)")
 
-    def xla_bf16(c):
+    def xla_bf16(c, consts):
+        q8, v8 = consts
         s = lax.dot_general(
             q8.astype(jnp.bfloat16), v8.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())),
@@ -87,7 +96,9 @@ def p0_int8_rate():
         )
         return jnp.max(s, axis=1) + c
 
-    dtb = timed_loop(xla_bf16, jnp.zeros((B,), jnp.float32), label="XLA bf16 dot 1M")
+    dtb = timed_loop(
+        xla_bf16, jnp.zeros((B,), jnp.float32), (q8, v8), label="XLA bf16 dot 1M"
+    )
     print(f"  -> bf16 {2 * n * D * B / dtb / 1e12:.1f} TOPS "
           f"(int8/bf16 speed ratio {dtb / dt:.2f}x)")
 
@@ -116,17 +127,19 @@ def p1_phase_split(dv, n):
     qk = jax.random.normal(jax.random.PRNGKey(3), (B, D), jnp.float32)
     t = pk.choose_tile(D, n_pad, pk._pad_b(B))
     alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
+    consts = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, qk, alive)
     for k in (10, 100, 400, 1024):
-        def step(c, k=k):
+        def step(c, consts, k=k):
+            vecs, nsq, inv, valid, qk, alive = consts
             rows, scores, ok, check, bound = pk.pallas_topk(
-                dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+                vecs, nsq, inv, valid,
                 qk + c * 0, None, jnp.float32(0.0), alive,
                 metric=__import__("otters_tpu.types", fromlist=["Metric"]).Metric.Cosine,
                 k=k, take_min=False, cmp=None, prec="default",
             )
             return c + scores[0]
 
-        dt = timed_loop(step, jnp.float32(0.0), iters=4, label=f"k'={k}")
+        dt = timed_loop(step, jnp.float32(0.0), consts, iters=4, label=f"k'={k}")
         print(f"    -> {B / dt:.0f} q/s, "
               f"{2 * n * D * B / dt / 1e12:.0f} TOPS-equivalent")
 
@@ -180,10 +193,12 @@ def p2_tile_sweep(dv, n):
             print(f"  tile {t}: skipped (VMEM {vmem >> 20} MiB)")
             continue
         alive = jnp.ones(n_pad // t, dtype=jnp.bool_)
+        consts = (dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid, qk, alive)
 
-        def step(c, alive=alive):
+        def step(c, consts):
+            vecs, nsq, inv, valid, qk, alive = consts
             rows, scores, ok, check, bound = pk.pallas_topk(
-                dv.vectors, dv.norms_sq, dv.inv_norms, dv.valid,
+                vecs, nsq, inv, valid,
                 qk + c * 0, None, jnp.float32(0.0), alive,
                 metric=Metric.Cosine, k=100, take_min=False, cmp=None,
                 prec="default",
@@ -191,7 +206,7 @@ def p2_tile_sweep(dv, n):
             return c + scores[0]
 
         try:
-            dt = timed_loop(step, jnp.float32(0.0), iters=4, label=f"tile={t}")
+            dt = timed_loop(step, jnp.float32(0.0), consts, iters=4, label=f"tile={t}")
             print(f"    -> {B / dt:.0f} q/s")
         except Exception as e:
             print(f"  tile {t}: failed ({type(e).__name__}: {e})")
@@ -267,11 +282,24 @@ def p3_cert_end_to_end():
 
 
 if __name__ == "__main__":
+    # Sections are argv-selectable so a flaky axon tunnel (or one probe
+    # hanging the remote compiler, as P0's int8 dot_general did on
+    # 2026-08-19) can be retried/skipped per-section under its own
+    # `timeout` instead of sinking the whole batch.
+    import sys
+
+    want = set(sys.argv[1:]) or {"p0", "p1", "p1b", "p2", "p3"}
     print("platform:", jax.devices()[0].platform)
-    p0_int8_rate()
-    dv, n = _build_10m_int8()
-    p1_phase_split(dv, n)
-    p1b_xla_vs_pallas(dv, n)
-    p2_tile_sweep(dv, n)
-    del dv
-    p3_cert_end_to_end()
+    if "p0" in want:
+        p0_int8_rate()
+    if want & {"p1", "p1b", "p2"}:
+        dv, n = _build_10m_int8()
+        if "p1" in want:
+            p1_phase_split(dv, n)
+        if "p1b" in want:
+            p1b_xla_vs_pallas(dv, n)
+        if "p2" in want:
+            p2_tile_sweep(dv, n)
+        del dv
+    if "p3" in want:
+        p3_cert_end_to_end()
