@@ -315,21 +315,19 @@ def _build_device_column(
             params = bloom_ops.BloomParams.from_bits(val, chunk_size)
         import os
 
-        import jax as _jax
-
-        # OTTERS_BLOOM_DEVICE: unset = device scatter on TPU only;
-        # "0"/"false"/"" = force host build (bisect knob); anything else
-        # = force device build even off-TPU (parity tests)
+        # OTTERS_BLOOM_DEVICE: unset/"0"/"false"/"" = host build (the
+        # native C++ scatter wins 20x on hardware: 0.27 s vs 5.85 s at
+        # 10M rows, hwlogs/bloom.log 2026-08-19 — the scatter is tiny
+        # next to the shared host-side hashing, and the device XLA
+        # scatter burns a dispatch per chunk-group); any other value =
+        # force the device scatter (kept for meshes where host memory,
+        # not time, is the constraint, and for parity tests)
         _env = os.environ.get("OTTERS_BLOOM_DEVICE")
-        if _env is not None:
-            use_device = bloom_ops.device_build_ok(
-                params, n_chunks
-            ) and _env.lower() not in ("0", "false", "")
-        else:
-            use_device = (
-                bloom_ops.device_build_ok(params, n_chunks)
-                and _jax.devices()[0].platform == "tpu"
-            )
+        use_device = (
+            _env is not None
+            and _env.lower() not in ("0", "false", "")
+            and bloom_ops.device_build_ok(params, n_chunks)
+        )
         if use_device:
             # TPU path: the bit scatter runs on device from the pre-hashed
             # (g1, g2) arrays — host work is hashing only (SURVEY C10)

@@ -1604,17 +1604,15 @@ def build_sharded(builder: MetaStoreBuilder, mesh) -> ShardedMetaStore:
                 params = bloom_ops.BloomParams.from_bits(val, c)
             import os
 
-            # OTTERS_BLOOM_DEVICE semantics match meta.py: unset = TPU
-            # only; "0"/"false"/"" = force host; else = force device
+            # OTTERS_BLOOM_DEVICE semantics match meta.py: unset (or
+            # "0"/"false"/"") = host native build — it wins 20x on
+            # hardware (hwlogs/bloom.log); set truthy = device scatter
             _env = os.environ.get("OTTERS_BLOOM_DEVICE")
             use_dev = (
-                bloom_ops.device_build_ok(params, n_chunks_s // n_shards)
+                _env is not None
+                and _env.lower() not in ("0", "false", "")
+                and bloom_ops.device_build_ok(params, n_chunks_s // n_shards)
                 and n_chunks_s % n_shards == 0
-                and (
-                    _env.lower() not in ("0", "false", "")
-                    if _env is not None
-                    else jax.devices()[0].platform == "tpu"
-                )
             )
             if use_dev:
                 # TPU path: per-shard device bit scatter from host hashes
