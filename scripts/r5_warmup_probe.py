@@ -132,6 +132,39 @@ def main():
         lambda: store.query_batch(q, Metric.Cosine)
         .take(bench.K, rerank_from=bench.K_WIDE),
     )
+    from otters_tpu import col
+
+    seq = col("category").eq(bench.CAT_VOCAB[3])
+    probe(
+        store, "string-eq + rerank + certify (bench string_eq shape)",
+        lambda: store.query_batch(q, Metric.Cosine)
+        .meta_filter(seq)
+        .take(bench.K, rerank_from=bench.K_WIDE),
+    )
+    # steady-state pipelined rate for the string-eq config, with the
+    # resolve() host path split out: dispatch-all wall vs resolve wall
+    from otters_tpu.meta import resolve
+
+    for label, make in (
+        ("string_eq", lambda: store.query_batch(q, Metric.Cosine)
+         .meta_filter(seq).take(bench.K, rerank_from=bench.K_WIDE)),
+        ("string_eq certify=False", lambda: store.query_batch(q, Metric.Cosine)
+         .meta_filter(seq).take(bench.K, rerank_from=bench.K_WIDE,
+                                certify=False)),
+        ("string_eq NO rerank", lambda: store.query_batch(q, Metric.Cosine)
+         .meta_filter(seq).take(bench.K, certify=False)),
+    ):
+        make().collect_async().result()  # warm this variant
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pending = [make().collect_async() for _ in range(16)]
+            t_disp = time.perf_counter() - t0
+            resolve(pending)
+            dt = time.perf_counter() - t0
+            print(
+                f"  pipelined {label}: {16 * bench.B / dt:.0f} q/s "
+                f"(dispatch-all {t_disp * 1e3:.0f}ms, total {dt * 1e3:.0f}ms)"
+            )
     print("aot stats at end:", dict(aot.stats))
 
 
