@@ -107,14 +107,23 @@ def cold_probe() -> None:
 
 def run_cold_probe_subprocess():
     """Spawn the cold probe BEFORE this process touches the TPU (one TPU
-    process at a time). Non-fatal: returns {} on any failure."""
+    process at a time). Non-fatal: returns {} on any failure.
+
+    The cold probe compiles the REAL 10M programs into its hermetic cache
+    dir; on success those executables are PROMOTED (host file copy) into
+    the shared AOT cache — the signature keys are identical (same code
+    version, backend, shapes) — so every later process this session,
+    including main() and the warm-restart probe, starts like a production
+    restart: deserialize in ~0.3 s instead of recompiling ~16 s
+    (hwlogs/warmup.log). The cold number itself stays virgin."""
     import subprocess
     import tempfile
 
+    cold_dir = tempfile.mkdtemp(prefix="otters_cold_aot_")
     env = dict(
         os.environ,
         OTTERS_BENCH_COLD="1",
-        OTTERS_AOT_CACHE=tempfile.mkdtemp(prefix="otters_cold_aot_"),
+        OTTERS_AOT_CACHE=cold_dir,
         OTTERS_AOT_NO_WARM="1",
     )
     try:
@@ -127,12 +136,97 @@ def run_cold_probe_subprocess():
         ]
         if proc.returncode == 0 and lines:
             out = json.loads(lines[-1])
+            out["aot_blobs_promoted"] = _promote_cold_blobs(cold_dir)
             log(f"cold probe: {out}")
             return out
     except Exception:
         import traceback
 
         log("cold probe failed (non-fatal):\n" + traceback.format_exc())
+    return {}
+
+
+def _promote_cold_blobs(cold_dir: str) -> int:
+    """Copy the cold probe's serialized executables into the shared AOT
+    cache (same keys: code version + backend + avals are unchanged)."""
+    import shutil
+
+    from otters_tpu import aot
+
+    dst = aot.cache_dir()
+    if not dst:
+        return 0
+    os.makedirs(dst, exist_ok=True)
+    n = 0
+    try:
+        for name in os.listdir(cold_dir):
+            if not name.endswith(".jaxexe"):
+                continue
+            target = os.path.join(dst, name)
+            if not os.path.exists(target):
+                shutil.copy2(os.path.join(cold_dir, name), target)
+                n += 1
+    except OSError:
+        pass
+    return n
+
+
+def warm_restart_probe() -> None:
+    """--warm-restart-probe: the production RESTART experience — a fresh
+    process on a machine whose shared AOT cache already holds this code
+    version's executables (the cold probe's, promoted). Re-runs the REAL
+    bench build + first certified filtered query, so the AOT keys, cert
+    widths, and data distribution are exactly the headline's. (An earlier
+    cheap-synthetic-data variant was both slower to generate over the
+    tunnel and cert-hostile: float32 sin hashing of large row indices
+    collapses to duplicate rows, whose exact score ties widen the
+    certificate ladder to its cap — hwlogs/warmrestart.log.) Prints one
+    JSON line."""
+    _configure_jax()
+    store, build_s, synth_s = build_10m()
+    import jax.numpy as jnp
+
+    from otters_tpu import Metric
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    t0 = time.perf_counter()
+    r = (
+        store.query_batch(q, Metric.Cosine)
+        .meta_filter(_filter_expr())
+        .take(K, rerank_from=K_WIDE)
+        .collect()
+    )
+    first_q = time.perf_counter() - t0
+    assert len(r) == K
+    print(json.dumps({
+        "warm_restart_build_s": round(build_s, 1),
+        "warm_restart_synth_s": round(synth_s, 1),
+        "warm_restart_first_query_s": round(first_q, 2),
+    }))
+
+
+def run_warm_restart_subprocess():
+    """Measure the restart warm-up AFTER the cold probe promoted its blobs
+    and BEFORE this process touches the TPU. Non-fatal."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--warm-restart-probe"],
+            env=dict(os.environ), stdout=subprocess.PIPE, timeout=1200,
+        )
+        lines = [
+            ln for ln in proc.stdout.decode().strip().splitlines() if ln
+        ]
+        if proc.returncode == 0 and lines:
+            out = json.loads(lines[-1])
+            log(f"warm restart probe: {out}")
+            return out
+    except Exception:
+        import traceback
+
+        log("warm restart probe failed (non-fatal):\n" + traceback.format_exc())
     return {}
 
 
@@ -682,6 +776,9 @@ def main() -> dict:
     cold = {} if os.environ.get("OTTERS_BENCH_NO_COLD") else (
         run_cold_probe_subprocess()
     )
+    warm_restart = {} if os.environ.get("OTTERS_BENCH_NO_COLD") else (
+        run_warm_restart_subprocess()
+    )
     _configure_jax()
     import gc
     import traceback
@@ -794,7 +891,17 @@ def main() -> dict:
             ),
             "build_10m_with_strings_s": round(build_s, 1),
             "data_synthesis_10m_s": round(synth_s, 1),
+            # first query of the MAIN process. With the cold probe's
+            # executables promoted into the shared AOT cache this is the
+            # restart experience (deserialize, ~1 s); the once-per-code-
+            # version compile cost is cold_compile_s.
             "warmup_first_query_s": round(warm, 2),
+            "warm_restart_first_query_s": warm_restart.get(
+                "warm_restart_first_query_s"
+            ),
+            "warm_restart_build_s": warm_restart.get("warm_restart_build_s"),
+            "warm_restart_synth_s": warm_restart.get("warm_restart_synth_s"),
+            "aot_blobs_promoted": cold.get("aot_blobs_promoted"),
             "cold_compile_s": cold.get("cold_first_query_s"),
             "cold_build_s": cold.get("cold_build_s"),
             "qps_10Mx768_B512": None if qps512 is None else round(qps512, 1),
@@ -907,6 +1014,9 @@ def _supervise() -> None:
 if __name__ == "__main__":
     if "--cold-probe" in sys.argv:
         cold_probe()
+        sys.exit(0)
+    if "--warm-restart-probe" in sys.argv:
+        warm_restart_probe()
         sys.exit(0)
     if os.environ.get("OTTERS_BENCH_CHILD") or os.environ.get(
         "OTTERS_BENCH_RETRY"
