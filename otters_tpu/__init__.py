@@ -42,7 +42,7 @@ from .vec import VecQueryPlan, VecStore
 # submodules with additional surface (importable as otters_tpu.<name>)
 from . import adapters, aot, datasets, evaluate, io, parallel, utils  # noqa: E402,F401
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Column",
