@@ -588,6 +588,37 @@ def _jit_rerank_program():
 _rerank_program = _jit_rerank_program()
 
 
+def _call_rerank_program(args, static_kwargs):
+    """Dispatch the batched device rerank through the AOT executable cache.
+
+    The rerank program's shape signature depends on the resolve() group
+    size P and the candidate-union pad bucket — shapes the single-query
+    warm-up never exercises, so the FIRST pipelined resolve() of a fresh
+    process paid a multi-second mid-serving compile (hwlogs/warmup.log:
+    ~4 s at 2M) that the meta-query AOT layer couldn't see. Same idiom as
+    MetaStore._prepare_program: serve from the serialized executable,
+    background-warm jit for the signature, switch when ready."""
+    import os
+
+    from . import aot
+
+    if os.environ.get("OTTERS_DISABLE_AOT"):
+        return _rerank_program(*args, **static_kwargs)
+    key = aot.signature(
+        "rerank_program",
+        repr(sorted(static_kwargs.items(), key=str)),
+        args,
+        {},
+    )
+    if aot.jit_is_ready(key):
+        return _rerank_program(*args, **static_kwargs)
+    compiled = aot.lookup(key) or aot.load_or_compile(
+        key, _rerank_program, args, static_kwargs
+    )
+    aot.ensure_jit_warm(key, _rerank_program, args, static_kwargs)
+    return compiled(*args)
+
+
 def _pad_bucket(n: int, floor: int = 64) -> int:
     """Smallest quarter-octave bucket >= n: prev_pow2 * {1.25, 1.5, 1.75,
     2}. Keeps the compiled-shape count small (4 per octave) while capping
@@ -660,16 +691,20 @@ def _device_rerank_dispatch(store: "MetaStore", plist):
         (0.0, None) if plan0._vec_filter is None else plan0._vec_filter
     )
     b = qs[0].shape[0]
-    raw = _rerank_program(
-        qs,
-        jnp.asarray(vecs),
-        jnp.asarray(pos),
-        jnp.asarray(valid_m),
-        jnp.float32(thr),
-        metric=metric,
-        k=min(k_final, b * M),
-        take_min=take_min,
-        cmp=cmp,
+    raw = _call_rerank_program(
+        (
+            qs,
+            jnp.asarray(vecs),
+            jnp.asarray(pos),
+            jnp.asarray(valid_m),
+            jnp.float32(thr),
+        ),
+        dict(
+            metric=metric,
+            k=min(k_final, b * M),
+            take_min=take_min,
+            cmp=cmp,
+        ),
     )
     return plist, cands, raw
 
@@ -1831,13 +1866,23 @@ class MetaStore:
         import warnings
 
         count = 0
+        # distinct random queries per pending (seeded, reproducible): zero
+        # queries all tie, so every pending's candidate set collapses to
+        # the same first-k' rows and the resolve() union pads to a bucket
+        # real traffic never uses — the warmed rerank executable would miss
+        # at serving time. Disjoint candidate sets (the serving common
+        # case) warm the worst-case union bucket for each depth.
+        qrng = np.random.default_rng(0)
         for expr in filters if filters is not None else [None]:
             for b in batch_sizes:
                 for depth in pipeline_depths:
                     pend = []
                     for _ in range(int(depth)):
                         plan = self.query_batch(
-                            np.zeros((int(b), self._dim), np.float32), metric
+                            qrng.normal(size=(int(b), self._dim)).astype(
+                                np.float32
+                            ),
+                            metric,
                         ).take(k, rerank_from=rerank_from)
                         if expr is not None:
                             plan.meta_filter(expr)
@@ -1845,11 +1890,11 @@ class MetaStore:
                                 raise OttersError(plan._meta_error)
                         pend.append(plan.collect_async())
                     with warnings.catch_warnings():
-                        # the zero-query warm batch can never certify (its
-                        # exact scores are all 0, below any positive
-                        # slack); its cap warning is noise — and the widen
-                        # attempts it triggers warm the ladder programs,
-                        # which is exactly what precompile is for
+                        # a warm batch that fails its certificate (possible
+                        # on adversarial data distributions) is noise here —
+                        # and the widen attempts it triggers warm the
+                        # ladder programs, which is exactly what precompile
+                        # is for
                         warnings.filterwarnings(
                             "ignore", message=".*certificate did not pass.*"
                         )

@@ -217,3 +217,50 @@ def test_precompile_rerank_warms_device_program(store_factory=None):
 
     with _pytest.raises(OttersError, match="with_rerank_source"):
         bare.precompile(rerank_from=32)
+
+
+def test_precompile_rerank_shapes_cover_pipelined_serving():
+    """The rerank shapes precompile warms must be the ones SERVING uses:
+    distinct random warm queries produce disjoint candidate sets, so the
+    resolve() union pad bucket matches pipelined traffic (zero queries all
+    tie and collapse every pending to the same candidates — a bucket real
+    traffic never hits). A post-precompile resolve() of fresh random
+    pendings must add no new program signatures."""
+    import numpy as np
+
+    from otters_tpu import Metric, MetaStore, aot
+    from otters_tpu.meta import resolve
+
+    rng = np.random.default_rng(82)
+    n, d, b, k, kw, depth = 3000, 16, 2, 3, 32, 3
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    store = (
+        MetaStore.from_columns([])
+        .with_vectors(vecs)
+        .with_storage_dtype("int8")
+        .with_rerank_source(keep_host_f32=True)
+        .build()
+    )
+    aot.clear_memory_cache()
+    store.precompile(
+        filters=[None], batch_sizes=(b,), k=k, rerank_from=kw,
+        pipeline_depths=(depth,),
+    )
+    before = set(aot._mem)
+    pend = [
+        store.query_batch(
+            rng.normal(size=(b, d)).astype(np.float32), Metric.Cosine
+        )
+        .take(k, rerank_from=kw)
+        .collect_async()
+        for _ in range(depth)
+    ]
+    results = resolve(pend)
+    assert all(len(r) == k for r in results)
+    assert all(p._device_rerank is not None for p in pend), (
+        "device rerank path did not engage"
+    )
+    assert set(aot._mem) == before, (
+        "pipelined serving compiled a rerank shape precompile missed: "
+        f"{set(aot._mem) - before}"
+    )
