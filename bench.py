@@ -493,7 +493,10 @@ def run_10m(store):
         # vs 0.35 s steady ⇒ dispersion min 3.3k q/s on a 12k median). The
         # first-query/restart costs stay measured by the cold and
         # warm-restart probes.
-        resolve([dispatch(which) for _ in range(TIMED_BATCHES)])
+        # twice: the background jit warm for a signature only starts on
+        # its SECOND use — one warm resolve would start it mid-round-0
+        for _ in range(2):
+            resolve([dispatch(which) for _ in range(TIMED_BATCHES)])
         aot.wait_jit_ready(timeout=420.0)
         vals = []
         for round_i in range(rounds):
@@ -596,7 +599,8 @@ def run_10m(store):
             )
 
         dispatch512().result()  # compile
-        resolve([dispatch512() for _ in range(8)])  # group-shape warm
+        for _ in range(2):  # group-shape warm (2nd use starts the jit warm)
+            resolve([dispatch512() for _ in range(8)])
         aot.wait_jit_ready(timeout=420.0)
         for _ in range(3):
             t0 = time.perf_counter()

@@ -30,6 +30,7 @@ Neq — is not detectable from the returned rows and is accepted at the same
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -2330,6 +2331,18 @@ class MetaQueryPlan:
                     raw = run()
                 strict_redo = partial(run, strict=True)
                 rerun_widened = run if certify else None
+                # start the device->host copy of the (few-KB) scan outputs
+                # NOW: by the time resolve()/result() blocks on them, the
+                # transfer has streamed back behind the later pendings'
+                # scans instead of costing a full roundtrip on the
+                # critical path (one sync fetch ~31 ms on tunneled hosts).
+                # OTTERS_NO_D2H_PREFETCH=1 disables (A/B + safety valve).
+                if not os.environ.get("OTTERS_NO_D2H_PREFETCH"):
+                    try:
+                        for leaf in raw:
+                            leaf.copy_to_host_async()
+                    except Exception:
+                        pass  # backend without async copies: sync later
         p = PendingMetaQuery(
             plan=self,
             raw=raw,
