@@ -99,7 +99,13 @@ def main() -> None:
             .collect_async()
         )
 
-    dispatch8().result()
+    # production serving warms EVERYTHING off the query path, including the
+    # batched rerank program for this pipeline depth (its shape depends on
+    # the resolve() group size, which single queries never exercise)
+    store8.precompile(
+        filters=[col("score").gt(0.25)], batch_sizes=(b,), k=10,
+        rerank_from=100, pipeline_depths=(n_batches,),
+    )
     t0 = time.perf_counter()
     results8 = resolve([dispatch8() for _ in range(n_batches)])
     pipe8 = time.perf_counter() - t0
