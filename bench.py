@@ -129,7 +129,7 @@ def run_cold_probe_subprocess():
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cold-probe"],
-            env=env, stdout=subprocess.PIPE, timeout=1800,
+            env=env, stdout=subprocess.PIPE, timeout=3000,
         )
         lines = [
             ln for ln in proc.stdout.decode().strip().splitlines() if ln
@@ -214,7 +214,7 @@ def run_warm_restart_subprocess():
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--warm-restart-probe"],
-            env=dict(os.environ), stdout=subprocess.PIPE, timeout=1200,
+            env=dict(os.environ), stdout=subprocess.PIPE, timeout=2400,
         )
         lines = [
             ln for ln in proc.stdout.decode().strip().splitlines() if ln
