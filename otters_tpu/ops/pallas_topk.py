@@ -137,6 +137,7 @@ def _kernel(
     nb: int,
     bo: int,
     certify: bool = False,
+    cert_cos: bool = False,
 ):
     g = pl.program_id(0)
     real = g < ns_ref[0]
@@ -231,9 +232,19 @@ def _kernel(
             # ADDS — the bound is then on the negated key, i.e. a lower
             # bound on the true distance. Masked rows stay -inf.
             la = aux_ref[3, :][None, :]
-            lb = aux_ref[4, :][None, :]
-            vn = jnp.sqrt(nsq)
-            key = key + _qcol(3) + _qcol(4) * la + _qcol(5) * vn + lb
+            if cert_cos:
+                # Cosine specialization (c1 = 1, c2 = 0, lane_b = 0): the
+                # per-row fold is ONE VPU add. c0(q) is constant per query
+                # lane, so phase 2 adds it to the bin maxima instead —
+                # max is monotone, so max(key + la) + c0 is bit-identical
+                # to folding c0 here, at a fraction of the VPU work
+                # (measured ~1.4x certified scan tax at 10M before this,
+                # vs the ~1.16x bf16-vs-int8 MXU-rate floor).
+                key = key + la
+            else:
+                lb = aux_ref[4, :][None, :]
+                vn = jnp.sqrt(nsq)
+                key = key + _qcol(3) + _qcol(4) * la + _qcol(5) * vn + lb
         for j in range(nb):
             m = jnp.max(key[:, j * BIN : (j + 1) * BIN], axis=1)  # [b_pad]
             if bo > b_pad:  # pad to the 128-lane output block
@@ -442,7 +453,11 @@ def _pallas_topk_jit(
         q_pad = jnp.zeros((b_pad, d), q_kern.dtype).at[:b].set(q_kern)
     else:
         q_pad = jnp.zeros((b_pad, d), jnp.float32).at[:b].set(queries)
-    nqa = 6 if certify else 4
+    # cosine-specialized certificate fold: c1 = 1, c2 = 0, lane_b = 0, and
+    # the per-query c0 is hoisted to phase 2 (see _kernel), so the kernel
+    # needs neither the coefficient qaux rows nor the lane_b aux row
+    cert_cos = certify and metric is Metric.Cosine
+    nqa = 6 if (certify and not cert_cos) else 4
     qaux = jnp.zeros((nqa, bo), jnp.float32)
     qaux = qaux.at[0, :b].set(q_inv).at[1, :b].set(q_sq)
     # q_ok lane: padded batch rows AND caller-invalid queries (e.g. batch-
@@ -450,7 +465,7 @@ def _pallas_topk_jit(
     qaux = qaux.at[2, :b].set(
         1.0 if q_valid is None else q_valid.astype(jnp.float32)
     )
-    if certify:
+    if certify and not cert_cos:
         # per-query certificate coefficients ride the qaux tile
         qaux = qaux.at[3, :b].set(c0).at[4, :b].set(c1).at[5, :b].set(c2)
 
@@ -462,9 +477,13 @@ def _pallas_topk_jit(
         norms_sq[None, :],
         rmask01[None, :],
     ]
-    if certify:
-        # per-row certificate lanes ride the aux tile so phase 1 can fold
-        # them into the bin max (both are 0 on padding rows)
+    if cert_cos:
+        # per-row certificate lane rides the aux tile so phase 1 can fold
+        # it into the bin max (0 on padding rows); lane_b is identically 0
+        # for cosine, so the aux block stays the uncertified 4 rows
+        aux_rows.append(lane_a[None, :])
+    elif certify:
+        # general fold: both per-row lanes ride the aux tile
         aux_rows += [lane_a[None, :], lane_b[None, :]]
     else:
         aux_rows.append(jnp.zeros((1, n_pad), jnp.float32))
@@ -510,7 +529,7 @@ def _pallas_topk_jit(
     bins = pl.pallas_call(
         partial(
             _kernel, metric=metric, take_min=take_min, cmp=cmp, prec=prec1,
-            nb=nb, bo=bo, certify=certify,
+            nb=nb, bo=bo, certify=certify, cert_cos=cert_cos,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, nb, bo), jnp.float32),
@@ -526,6 +545,13 @@ def _pallas_topk_jit(
     )
 
     # ---- phase 2 (XLA): winner-bin gather + exact rescore ----
+    if cert_cos:
+        # cosine fold, phase-2 half: the kernel folded only the per-row
+        # lane_a; add the per-query c0 to the bin maxima here. max is
+        # monotone, so max(key + la) + c0 == max(key + la + c0) bit-exactly
+        # — the bin SELECTION below still ranks by the fully adjusted key,
+        # preserving the minimal-bound property. (-inf lanes stay -inf.)
+        bins = bins + jnp.zeros((bo,), jnp.float32).at[:b].set(c0)[None, None, :]
     flat = bins.reshape(-1)  # [n_tiles * nb * bo], slot -> (g, j, q)
     n_slots = flat.shape[0]
     # slots of dead grid steps were never written (garbage, possibly NaN);
@@ -612,7 +638,9 @@ def _pallas_topk_jit(
         )
         if row_mask is not None:
             out = out + (row_mask[rows_flat].reshape(kb, BIN),)
-        if certify:
+        if cert_cos:
+            out = out + (lane_a[rows_flat].reshape(kb, BIN),)
+        elif certify:
             out = out + (
                 lane_a[rows_flat].reshape(kb, BIN),
                 lane_b[rows_flat].reshape(kb, BIN),
@@ -654,7 +682,9 @@ def _pallas_topk_jit(
         )
         if row_mask is not None:
             out = out + (jax.lax.dynamic_slice(row_mask, (s,), (BIN,)),)
-        if certify:
+        if cert_cos:
+            out = out + (jax.lax.dynamic_slice(lane_a, (s,), (BIN,)),)
+        elif certify:
             out = out + (
                 jax.lax.dynamic_slice(lane_a, (s,), (BIN,)),
                 jax.lax.dynamic_slice(lane_b, (s,), (BIN,)),
@@ -694,17 +724,20 @@ def _pallas_topk_jit(
         # resulting bound. The rerank re-scores candidates in exact f32, so
         # selection order does not affect result exactness — only how often
         # the certificate passes at a given scan width.
-        laneA_r, laneB_r = sliced[-2], sliced[-1]
-        vn_r = jnp.sqrt(nsq_rows)
         c0p = jnp.zeros((bo,), jnp.float32).at[:b].set(c0)[qsel_c][:, None]
-        c1p = jnp.zeros((bo,), jnp.float32).at[:b].set(c1)[qsel_c][:, None]
-        c2p = jnp.zeros((bo,), jnp.float32).at[:b].set(c2)[qsel_c][:, None]
         base = -scores if take_min else scores
-        adj2 = jnp.where(
-            ok,
-            base + c0p + c1p * laneA_r + c2p * vn_r + laneB_r,
-            -jnp.inf,
-        )
+        if cert_cos:
+            # cosine: slack = c0(q) + lane_a(row); same association order
+            # as the general fold with c1 = 1, c2 = 0, lane_b = 0
+            laneA_r = sliced[-1]
+            adj = base + c0p + laneA_r
+        else:
+            laneA_r, laneB_r = sliced[-2], sliced[-1]
+            vn_r = jnp.sqrt(nsq_rows)
+            c1p = jnp.zeros((bo,), jnp.float32).at[:b].set(c1)[qsel_c][:, None]
+            c2p = jnp.zeros((bo,), jnp.float32).at[:b].set(c2)[qsel_c][:, None]
+            adj = base + c0p + c1p * laneA_r + c2p * vn_r + laneB_r
+        adj2 = jnp.where(ok, adj, -jnp.inf)
         key = adj2
     else:
         key = jnp.where(ok, scores, jnp.inf if take_min else -jnp.inf)
